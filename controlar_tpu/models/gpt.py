@@ -1,0 +1,465 @@
+"""LlamaGen-style decoder with ControlAR conditional decoding — TPU-native.
+
+Re-design of the reference Transformer (ref: autoregressive/models/gpt_t2i.py:310-484
+and gpt.py:306-469) as a functional JAX model:
+
+- Parameters are a pytree of arrays; per-layer weights are stacked on a leading
+  layer axis and the block stack runs under `lax.scan` (fast compiles for the
+  36-48 layer sizes, natural remat boundary for training).
+- Control fusion (the heart of ControlAR): control tokens are projected by 3
+  per-fusion-point MLPs once, then added to the hidden state at layers where
+  i % (n_layer//3) == 0. Each generated position t receives control token t
+  (ref: gpt_t2i.py:456-467). Inside the layer scan this becomes a gather from a
+  precomputed (3, B, T, dim) tensor selected by a static per-layer gate/index.
+- The KV cache is an explicit (n_layer, B, S, H, D) pytree threaded through
+  scan as xs/ys and donated by callers — no module state, no Python objects.
+- c2i and t2i share one code path: with cls_token_num=1 the c2i fusion rules
+  (gpt.py:440-466) coincide with the t2i rules (position p fuses control token
+  p - cls_token_num + 1; training fuses into positions cls_token_num-1 ...).
+
+Weight layout: all linears are stored (in_features, out_features) so forward is
+`x @ W` (torch stores the transpose). The torch->jax converter transposes.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple, Dict, Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlar_tpu.config import GPTConfig
+from controlar_tpu.ops.norms import rms_norm
+from controlar_tpu.ops.rope import apply_rope, precompute_rope_2d
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (ref: gpt_t2i.py:372-389)
+# ---------------------------------------------------------------------------
+
+def init_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
+    """Initialize parameters matching the reference init distribution:
+    normal(0, initializer_range) for linears/embeddings, zeros for the output
+    head (t2i; ref gpt_t2i.py:377) and zeros for the adapter/condition MLPs
+    (ref gpt_t2i.py:174-175)."""
+    std = cfg.initializer_range
+    keys = iter(jax.random.split(rng, 64))
+
+    def normal(shape):
+        return (jax.random.normal(next(keys), shape) * std).astype(dtype)
+
+    def zeros(shape):
+        return jnp.zeros(shape, dtype)
+
+    d, hd, nh, nkv = cfg.dim, cfg.head_dim, cfg.n_head, cfg.kv_heads
+    ffn = cfg.ffn_hidden_dim
+    L = cfg.n_layer
+
+    layers = {
+        "attention_norm": jnp.ones((L, d), dtype),
+        "ffn_norm": jnp.ones((L, d), dtype),
+        "wqkv": normal((L, d, (nh + 2 * nkv) * hd)),
+        "wo": normal((L, d, d)),
+        "w1": normal((L, d, ffn)),
+        "w3": normal((L, d, ffn)),
+        "w2": normal((L, ffn, d)),
+    }
+
+    if cfg.model_type == "c2i":
+        cls_embedding = {"embedding": normal((cfg.num_classes + 1, d))}
+    else:
+        cls_embedding = {
+            "fc1": normal((cfg.caption_dim, d)),
+            "fc2": normal((d, d)),
+            # ref CaptionEmbedder buffer: randn(token_num, in_ch)/sqrt(in_ch)
+            "uncond_embedding": (
+                jax.random.normal(next(keys), (cfg.cls_token_num, cfg.caption_dim))
+                / cfg.caption_dim ** 0.5
+            ).astype(dtype),
+        }
+
+    params = {
+        "tok_embeddings": normal((cfg.vocab_size, d)),
+        "cls_embedding": cls_embedding,
+        # zero-init control MLPs (ref gpt_t2i.py:174-175): control branch is a
+        # no-op at start of fine-tuning
+        "adapter_mlp": {"fc1": zeros((cfg.adapter_dim, d)), "fc2": zeros((d, d))},
+        "condition_mlp": {"fc1": zeros((d, d)), "fc2": zeros((d, d))},
+        "condition_layers": {"fc1": zeros((3, d, d)), "fc2": zeros((3, d, d))},
+        "layers": layers,
+        "norm": jnp.ones((d,), dtype),
+        "output": zeros((d, cfg.vocab_size))
+        if cfg.model_type == "t2i"
+        else normal((d, cfg.vocab_size)),
+    }
+    return params
+
+
+def make_rope_table(cfg: GPTConfig) -> jnp.ndarray:
+    """(cls_token_num + block_size, head_dim//2, 2) fp32 cos/sin table."""
+    return jnp.asarray(
+        precompute_rope_2d(cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Small pieces
+# ---------------------------------------------------------------------------
+
+def mlp_gelu(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Bias-free MLP with tanh-GELU (ref MLP: gpt_t2i.py:165-181)."""
+    h = jax.nn.gelu(x @ p["fc1"], approximate=True)
+    return h @ p["fc2"]
+
+
+def embed_prefix_c2i(
+    params: Params, labels: jnp.ndarray
+) -> jnp.ndarray:
+    """Class labels -> (B, 1, dim) (ref LabelEmbedder: gpt_t2i.py:67-97)."""
+    emb = params["cls_embedding"]["embedding"][labels]
+    return emb[:, None, :]
+
+
+def embed_prefix_t2i(params: Params, caption_emb: jnp.ndarray) -> jnp.ndarray:
+    """T5 features (B, T_cls, caption_dim) -> (B, T_cls, dim)
+    (ref CaptionEmbedder: gpt_t2i.py:133-162)."""
+    return mlp_gelu(params["cls_embedding"], caption_emb)
+
+
+def control_tokens(
+    params: Params,
+    cfg: GPTConfig,
+    adapter_features: jnp.ndarray,
+    drop_ids: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Adapter features (B, T_img, adapter_dim) -> control tokens (B, T_img, dim).
+
+    adapter_mlp then ConditionEmbedder.cap_proj; CFG-dropout replaces the
+    *input* of the condition MLP with zeros (the uncond embedding is a zeros
+    buffer, ref gpt_t2i.py:107,120), sharing drop_ids with the caption dropout
+    (ref gpt_t2i.py:427).
+    """
+    x = mlp_gelu(params["adapter_mlp"], adapter_features)
+    if drop_ids is not None:
+        x = jnp.where(drop_ids[:, None, None], jnp.zeros_like(x), x)
+    return mlp_gelu(params["condition_mlp"], x)
+
+
+def fusion_projections(params: Params, cond_tokens: jnp.ndarray) -> jnp.ndarray:
+    """Apply the 3 condition_layers MLPs -> (3, B, T, dim) (ref gpt_t2i.py:440-442)."""
+    return jax.vmap(lambda fc1, fc2: mlp_gelu({"fc1": fc1, "fc2": fc2}, cond_tokens))(
+        params["condition_layers"]["fc1"], params["condition_layers"]["fc2"]
+    )
+
+
+def _fusion_gates(cfg: GPTConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Static per-layer (gate, projection-index) for control fusion."""
+    interval = cfg.layer_interval
+    ids = np.arange(cfg.n_layer)
+    gate = (ids % interval == 0).astype(np.float32)
+    idx = np.minimum(ids // interval, cfg.n_fusion_points - 1).astype(np.int32)
+    return gate, idx
+
+
+# ---------------------------------------------------------------------------
+# Attention + FFN block bodies
+# ---------------------------------------------------------------------------
+
+def _qkv(lp: Params, cfg: GPTConfig, x: jnp.ndarray, rope_slice: jnp.ndarray):
+    """Project + rotate. x: (B, T, dim) -> q (B,T,H,D), k/v (B,T,KV,D)."""
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
+    qkv = x @ lp["wqkv"]
+    q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
+    q = q.reshape(b, t, nh, hd)
+    k = k.reshape(b, t, nkv, hd)
+    v = v.reshape(b, t, nkv, hd)
+    q = apply_rope(q, rope_slice)
+    k = apply_rope(k, rope_slice)
+    return q, k, v
+
+
+def _attend_full(
+    cfg: GPTConfig,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Full-sequence attention. q: (B,T,H,D), k/v: (B,S,KV,D).
+    mask: broadcastable boolean (B,1,T,S) or None for causal-within-T.
+    Scores accumulate in fp32 (MXU), softmax in fp32."""
+    b, t, nh, hd = q.shape
+    s = k.shape[1]
+    if cfg.kv_heads != nh:
+        rep = nh // cfg.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / np.sqrt(hd))
+    if mask is None:
+        causal = np.tril(np.ones((t, s), dtype=bool), k=s - t)
+        scores = jnp.where(causal[None, None], scores, -jnp.inf)
+    else:
+        scores = jnp.where(mask, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32)
+    return out.astype(q.dtype).reshape(b, t, nh * hd)
+
+
+def block_forward(
+    lp: Params,
+    cfg: GPTConfig,
+    h: jnp.ndarray,
+    rope_slice: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    pos: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
+    """One pre-norm block (ref TransformerBlock: gpt_t2i.py:294-307).
+
+    If kv_cache=(k,v) with shape (B,S,KV,D) is given, the new k/v rows are
+    written at positions [pos, pos+T) and attention runs over the whole cache.
+    Returns (h_out, updated_cache_or_None).
+    """
+    x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+    q, k, v = _qkv(lp, cfg, x, rope_slice)
+    if kv_cache is not None:
+        k_cache, v_cache = kv_cache
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, k.astype(k_cache.dtype), (0, pos, 0, 0)
+        )
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, v.astype(v_cache.dtype), (0, pos, 0, 0)
+        )
+        attn = _attend_full(cfg, q, k_cache, v_cache, mask)
+        new_cache = (k_cache, v_cache)
+    else:
+        attn = _attend_full(cfg, q, k, v, mask)
+        new_cache = None
+    h = h + attn @ lp["wo"]
+    x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+    ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    return h + ffn, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Full forward passes
+# ---------------------------------------------------------------------------
+
+def _scan_layers(
+    params: Params,
+    cfg: GPTConfig,
+    h: jnp.ndarray,
+    rope_slice: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    fused3: Optional[jnp.ndarray],
+    fuse_fn,
+    caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    pos: Optional[jnp.ndarray] = None,
+    unroll: int = 1,
+):
+    """Run the layer stack under lax.scan.
+
+    fused3: (3, B, T_fuse, dim) precomputed control projections (or None).
+    fuse_fn(h, fused_j) -> h applies the fusion for one layer given the
+    selected projection row(s).
+    caches: stacked (L, B, S, KV, D) k and v, scanned as xs and rebuilt as ys.
+    """
+    gate_np, idx_np = _fusion_gates(cfg)
+    gate = jnp.asarray(gate_np)
+    idx = jnp.asarray(idx_np)
+
+    def body(carry, xs):
+        h = carry
+        if caches is not None:
+            lp, g, j, kc, vc = xs
+        else:
+            lp, g, j = xs
+            kc = vc = None
+        if fused3 is not None:
+            fused_j = jax.lax.dynamic_index_in_dim(fused3, j, axis=0, keepdims=False)
+            h = jax.lax.cond(g > 0, lambda hh: fuse_fn(hh, fused_j), lambda hh: hh, h)
+        if caches is not None:
+            h, (kc, vc) = block_forward(lp, cfg, h, rope_slice, mask, (kc, vc), pos)
+            return h, (kc, vc)
+        h, _ = block_forward(lp, cfg, h, rope_slice, mask, None, None)
+        return h, None
+
+    if caches is not None:
+        xs = (params["layers"], gate, idx, caches[0], caches[1])
+        h, (k_new, v_new) = jax.lax.scan(body, h, xs, unroll=unroll)
+        return h, (k_new, v_new)
+    xs = (params["layers"], gate, idx)
+    h, _ = jax.lax.scan(body, h, xs, unroll=unroll)
+    return h, None
+
+
+def _logits(params: Params, cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    return (h @ params["output"]).astype(jnp.float32)
+
+
+def forward_train(
+    params: Params,
+    cfg: GPTConfig,
+    prefix_emb: jnp.ndarray,
+    idx: jnp.ndarray,
+    cond_tokens: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    targets: Optional[jnp.ndarray] = None,
+    valid: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Teacher-forced forward (ref gpt_t2i.py:420-481, training branch).
+
+    prefix_emb: (B, cls_token_num, dim) already-embedded class/caption prefix.
+    idx: (B, T_img - 1) ground-truth image tokens (z[:, :-1]).
+    cond_tokens: (B, block_size, dim) output of `control_tokens` (post CFG-drop).
+    mask: optional boolean (B, 1, T, T) attention mask (True = attend).
+    targets: (B, T_img) for the CE loss; valid: (B,) 0/1 sample mask.
+
+    Dropout: token/ffn/resid dropout are applied when deterministic=False
+    using `rng` (ref ModelArgs dropout rates); attn dropout is 0 in all
+    reference configs and is not implemented.
+    """
+    tok = params["tok_embeddings"][idx]
+    h = jnp.concatenate([prefix_emb, tok], axis=1)
+    t = h.shape[1]
+    if not deterministic and cfg.token_dropout_p > 0 and rng is not None:
+        keep = jax.random.bernoulli(
+            jax.random.fold_in(rng, 0), 1.0 - cfg.token_dropout_p, h.shape
+        )
+        h = jnp.where(keep, h / (1.0 - cfg.token_dropout_p), 0.0)
+
+    rope = make_rope_table(cfg)[:t]
+    cls = cfg.cls_token_num
+
+    def fuse_train(hh, fused_j):
+        # add control tokens to every position that predicts an image token
+        # (ref gpt_t2i.py:459; c2i equivalently adds over the full length)
+        body = hh[:, cls - 1 :] + fused_j[:, : hh.shape[1] - (cls - 1)].astype(hh.dtype)
+        return jnp.concatenate([hh[:, : cls - 1], body], axis=1)
+
+    fused3 = fusion_projections(params, cond_tokens) if cond_tokens is not None else None
+    h, _ = _scan_layers(params, cfg, h, rope, mask, fused3, fuse_train)
+    logits = _logits(params, cfg, h)
+    logits = logits[:, cls - 1 :]
+
+    loss = None
+    if targets is not None:
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        if valid is not None:
+            w = valid[:, None].astype(jnp.float32) * jnp.ones_like(nll)
+            loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+        else:
+            loss = nll.mean()
+    return logits, loss
+
+
+# ---------------------------------------------------------------------------
+# Inference: prefill + single-token decode
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(
+    cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Stacked (L, B, S, KV, D) zero caches (ref KVCache: gpt_t2i.py:220-235)."""
+    shape = (cfg.n_layer, batch, max_seq, cfg.kv_heads, cfg.head_dim)
+    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+
+
+def prefill(
+    params: Params,
+    cfg: GPTConfig,
+    caches: Tuple[jnp.ndarray, jnp.ndarray],
+    prefix_emb: jnp.ndarray,
+    fused3: Optional[jnp.ndarray],
+    col_mask: Optional[jnp.ndarray],
+    control_strength: float | jnp.ndarray = 1.0,
+):
+    """Prefill the prefix (ref gpt_t2i.py:433-443 + generate.py:85-94).
+
+    prefix_emb: (B, T_cls, dim). fused3: (3, B, block_size, dim) control
+    projections. col_mask: (B, T_cls) boolean prefix validity (emb_masks).
+    Returns (last-position logits (B, V), updated caches).
+    """
+    b, t, _ = prefix_emb.shape
+    s_max = caches[0].shape[2]
+    rope = make_rope_table(cfg)[:t]
+
+    # Mask spans the full cache width: columns >= t are excluded by causality.
+    rows = np.arange(t)[:, None]
+    cols = np.arange(s_max)[None, :]
+    causal = jnp.asarray(rows >= cols)  # (T, S)
+    if col_mask is not None:
+        # emb-mask stamp + diagonal restore (ref generate.py:184-193)
+        cm = jnp.concatenate(
+            [col_mask, jnp.ones((b, s_max - t), dtype=bool)], axis=1
+        )
+        m = causal[None] & (cm[:, None, :] | jnp.asarray(rows == cols)[None])
+    else:
+        m = jnp.broadcast_to(causal[None], (b, t, s_max))
+    mask = m[:, None]  # (B, 1, T, S)
+
+    def fuse_prefill(hh, fused_j):
+        # fuse control token 0 into the last prefix position
+        last = hh[:, -1:] + (control_strength * fused_j[:, 0:1]).astype(hh.dtype)
+        return jnp.concatenate([hh[:, :-1], last], axis=1)
+
+    h, caches = _scan_layers(
+        params, cfg, prefix_emb, rope, mask, fused3, fuse_prefill,
+        caches=caches, pos=jnp.asarray(0, jnp.int32),
+    )
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, caches
+
+
+def decode_step(
+    params: Params,
+    cfg: GPTConfig,
+    caches: Tuple[jnp.ndarray, jnp.ndarray],
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    fused3: Optional[jnp.ndarray],
+    col_mask_full: Optional[jnp.ndarray],
+    control_strength: float | jnp.ndarray = 1.0,
+):
+    """One decode step at position `pos` (ref gpt_t2i.py:444-467 decode branch).
+
+    token: (B,) previous token ids. col_mask_full: (B, S) column mask covering
+    the whole cache (prefix emb_masks extended with ones). Returns
+    (logits (B, V), updated caches).
+    """
+    b = token.shape[0]
+    s_max = caches[0].shape[2]
+    h = params["tok_embeddings"][token][:, None, :]
+
+    rope_tab = make_rope_table(cfg)
+    rope = jax.lax.dynamic_slice_in_dim(rope_tab, pos, 1, axis=0)
+
+    cols = jnp.arange(s_max)
+    allowed = cols[None, :] <= pos
+    if col_mask_full is not None:
+        allowed = allowed & col_mask_full
+    mask = allowed[:, None, None, :]  # (B, 1, 1, S)
+    if mask.shape[0] != b:
+        mask = jnp.broadcast_to(mask, (b,) + mask.shape[1:])
+
+    fuse_pos = pos - cfg.cls_token_num + 1
+
+    def fuse_decode(hh, fused_j):
+        row = jax.lax.dynamic_slice_in_dim(fused_j, fuse_pos, 1, axis=1)
+        return hh + (control_strength * row).astype(hh.dtype)
+
+    h, caches = _scan_layers(
+        params, cfg, h, rope, mask, fused3, fuse_decode, caches=caches, pos=pos
+    )
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, caches
