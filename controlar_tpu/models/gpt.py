@@ -211,6 +211,11 @@ def _attend_full(
     return out.astype(q.dtype).reshape(b, t, nh * hd)
 
 
+def _dropout(rng: jax.Array, p: float, x: jnp.ndarray) -> jnp.ndarray:
+    keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), jnp.zeros_like(x))
+
+
 def block_forward(
     lp: Params,
     cfg: GPTConfig,
@@ -219,12 +224,15 @@ def block_forward(
     mask: Optional[jnp.ndarray],
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     pos: Optional[jnp.ndarray] = None,
+    drop_rng: Optional[jax.Array] = None,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One pre-norm block (ref TransformerBlock: gpt_t2i.py:294-307).
 
     If kv_cache=(k,v) with shape (B,S,KV,D) is given, the new k/v rows are
     written at positions [pos, pos+T) and attention runs over the whole cache.
-    Returns (h_out, updated_cache_or_None).
+    If drop_rng is given, residual/ffn dropout is applied at the config rates
+    (ref Attention.resid_dropout gpt_t2i.py:290, FeedForward.ffn_dropout
+    gpt_t2i.py:217). Returns (h_out, updated_cache_or_None).
     """
     x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
     q, k, v = _qkv(lp, cfg, x, rope_slice)
@@ -241,9 +249,14 @@ def block_forward(
     else:
         attn = _attend_full(cfg, q, k, v, mask)
         new_cache = None
-    h = h + attn @ lp["wo"]
+    attn_out = attn @ lp["wo"]
+    if drop_rng is not None and cfg.resid_dropout_p > 0:
+        attn_out = _dropout(jax.random.fold_in(drop_rng, 1), cfg.resid_dropout_p, attn_out)
+    h = h + attn_out
     x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    if drop_rng is not None and cfg.ffn_dropout_p > 0:
+        ffn = _dropout(jax.random.fold_in(drop_rng, 2), cfg.ffn_dropout_p, ffn)
     return h + ffn, new_cache
 
 
@@ -262,6 +275,8 @@ def _scan_layers(
     caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     pos: Optional[jnp.ndarray] = None,
     unroll: int = 1,
+    drop_rng: Optional[jax.Array] = None,
+    remat: bool = False,
 ):
     """Run the layer stack under lax.scan.
 
@@ -269,32 +284,39 @@ def _scan_layers(
     fuse_fn(h, fused_j) -> h applies the fusion for one layer given the
     selected projection row(s).
     caches: stacked (L, B, S, KV, D) k and v, scanned as xs and rebuilt as ys.
+    remat: rematerialize each layer in the backward pass (training).
     """
     gate_np, idx_np = _fusion_gates(cfg)
     gate = jnp.asarray(gate_np)
     idx = jnp.asarray(idx_np)
+    layer_ids = jnp.arange(cfg.n_layer)
 
     def body(carry, xs):
         h = carry
         if caches is not None:
-            lp, g, j, kc, vc = xs
+            lp, g, j, lid, kc, vc = xs
         else:
-            lp, g, j = xs
+            lp, g, j, lid = xs
             kc = vc = None
         if fused3 is not None:
             fused_j = jax.lax.dynamic_index_in_dim(fused3, j, axis=0, keepdims=False)
             h = jax.lax.cond(g > 0, lambda hh: fuse_fn(hh, fused_j), lambda hh: hh, h)
+        rng_l = None if drop_rng is None else jax.random.fold_in(drop_rng, lid)
         if caches is not None:
-            h, (kc, vc) = block_forward(lp, cfg, h, rope_slice, mask, (kc, vc), pos)
+            h, (kc, vc) = block_forward(
+                lp, cfg, h, rope_slice, mask, (kc, vc), pos, drop_rng=rng_l
+            )
             return h, (kc, vc)
-        h, _ = block_forward(lp, cfg, h, rope_slice, mask, None, None)
+        h, _ = block_forward(lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l)
         return h, None
 
+    if remat:
+        body = jax.checkpoint(body)
     if caches is not None:
-        xs = (params["layers"], gate, idx, caches[0], caches[1])
+        xs = (params["layers"], gate, idx, layer_ids, caches[0], caches[1])
         h, (k_new, v_new) = jax.lax.scan(body, h, xs, unroll=unroll)
         return h, (k_new, v_new)
-    xs = (params["layers"], gate, idx)
+    xs = (params["layers"], gate, idx, layer_ids)
     h, _ = jax.lax.scan(body, h, xs, unroll=unroll)
     return h, None
 
@@ -347,7 +369,13 @@ def forward_train(
         return jnp.concatenate([hh[:, : cls - 1], body], axis=1)
 
     fused3 = fusion_projections(params, cond_tokens) if cond_tokens is not None else None
-    h, _ = _scan_layers(params, cfg, h, rope, mask, fused3, fuse_train)
+    layer_rng = None
+    if not deterministic and rng is not None:
+        layer_rng = jax.random.fold_in(rng, 1)
+    h, _ = _scan_layers(
+        params, cfg, h, rope, mask, fused3, fuse_train,
+        drop_rng=layer_rng, remat=not deterministic,
+    )
     logits = _logits(params, cfg, h)
     logits = logits[:, cls - 1 :]
 
