@@ -1,0 +1,122 @@
+"""Canny edge detection as a jittable XLA op.
+
+Replicates cv2.Canny's exact integer algorithm (the reference preprocessor,
+ref condition/canny.py:6-14; OpenCV C++ canny.cpp semantics) so that
+on-device control-map extraction matches the CPU detector the evals re-run:
+
+- 3x3 Sobel (BORDER_REPLICATE) per channel; for multi-channel inputs the
+  per-pixel channel with the largest L1 magnitude wins.
+- L1 gradient magnitude (|dx| + |dy|), int32.
+- Non-maximum suppression with OpenCV's fixed-point direction split
+  (CANNY_SHIFT=15, TG22=13573) and its exact strict/non-strict comparisons.
+- Double threshold + hysteresis: weak edges keep only when 8-connected to a
+  strong edge — a bounded lax.while_loop dilate-to-fixpoint.
+
+Output: uint8 {0, 255} edge map, shape (B, H, W).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CANNY_SHIFT = 15
+_TG22 = 13573  # tan(22.5 deg) * 2^15, rounded as in OpenCV
+
+
+def _sobel_pair(img: jnp.ndarray):
+    """3x3 Sobel dx, dy with replicate border. img: (B, H, W, C) int32."""
+    x = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge").astype(jnp.int32)
+    # dx kernel: [[-1,0,1],[-2,0,2],[-1,0,1]]
+    c = x
+    dx = (
+        -c[:, :-2, :-2] + c[:, :-2, 2:]
+        - 2 * c[:, 1:-1, :-2] + 2 * c[:, 1:-1, 2:]
+        - c[:, 2:, :-2] + c[:, 2:, 2:]
+    )
+    dy = (
+        -c[:, :-2, :-2] - 2 * c[:, :-2, 1:-1] - c[:, :-2, 2:]
+        + c[:, 2:, :-2] + 2 * c[:, 2:, 1:-1] + c[:, 2:, 2:]
+    )
+    return dx, dy
+
+
+def _shift(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift a (B,H,W) map so that out[i,j] = a[i+dy, j+dx], zero-padded."""
+    pad = jnp.pad(a, ((0, 0), (1, 1), (1, 1)))
+    return jax.lax.dynamic_slice(
+        pad, (0, 1 + dy, 1 + dx), a.shape
+    )
+
+
+@partial(jax.jit, static_argnames=("low_threshold", "high_threshold", "max_iters"))
+def canny(
+    img: jnp.ndarray,
+    low_threshold: int = 100,
+    high_threshold: int = 200,
+    max_iters: int = 64,
+) -> jnp.ndarray:
+    """img: (B, H, W, C) or (B, H, W) uint8-valued. Returns (B, H, W) uint8.
+
+    max_iters bounds the hysteresis flood fill (each iteration propagates one
+    8-connected ring; 64 covers any realistic edge chain at 512px — OpenCV's
+    BFS is unbounded but equivalent at fixpoint).
+    """
+    if img.ndim == 3:
+        img = img[..., None]
+    img = img.astype(jnp.int32)
+    dx, dy = _sobel_pair(img)  # (B, H, W, C)
+    mag_c = jnp.abs(dx) + jnp.abs(dy)
+    # multi-channel: pick the channel with max magnitude per pixel
+    ch = jnp.argmax(mag_c, axis=-1, keepdims=True)
+    mag = jnp.take_along_axis(mag_c, ch, axis=-1)[..., 0]
+    dxs = jnp.take_along_axis(dx, ch, axis=-1)[..., 0]
+    dys = jnp.take_along_axis(dy, ch, axis=-1)[..., 0]
+
+    # int32 suffices: |sobel| <= 4*255, so y <= 1020<<15 ~ 3.3e7 and
+    # tg67x <= 1020*13573 + 2040<<15 ~ 8.1e7, well inside int32.
+    x = jnp.abs(dxs)
+    y = jnp.abs(dys) << _CANNY_SHIFT
+    tg22x = x * _TG22
+    tg67x = tg22x + ((2 * x) << _CANNY_SHIFT)
+
+    m = mag
+    left, right = _shift(m, 0, -1), _shift(m, 0, 1)
+    up, down = _shift(m, -1, 0), _shift(m, 1, 0)
+    ul, ur = _shift(m, -1, -1), _shift(m, -1, 1)
+    dl, dr = _shift(m, 1, -1), _shift(m, 1, 1)
+
+    horiz = (m > left) & (m >= right)
+    vert = (m > up) & (m >= down)
+    s_neg = (dxs ^ dys) < 0  # opposite signs -> anti-diagonal neighbors
+    # OpenCV: s = sign(xs^ys); compares prev_row[j-s] and next_row[j+s],
+    # both strict '>'
+    diag_pos = (m > ul) & (m > dr)   # s = +1
+    diag_neg = (m > ur) & (m > dl)   # s = -1
+    diag = jnp.where(s_neg, diag_neg, diag_pos)
+
+    is_local_max = jnp.where(
+        y < tg22x, horiz, jnp.where(y > tg67x, vert, diag)
+    )
+    candidate = (m > low_threshold) & is_local_max
+    strong = candidate & (m > high_threshold)
+    weak = candidate & ~strong
+
+    def body(state):
+        edges, changed = state
+        grown = (
+            _shift(edges, 0, -1) | _shift(edges, 0, 1)
+            | _shift(edges, -1, 0) | _shift(edges, 1, 0)
+            | _shift(edges, -1, -1) | _shift(edges, -1, 1)
+            | _shift(edges, 1, -1) | _shift(edges, 1, 1)
+        )
+        new_edges = edges | (weak & grown)
+        return new_edges, (new_edges != edges).any()
+
+    def cond(state):
+        return state[1]
+
+    edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
+    return (edges * 255).astype(jnp.uint8)
