@@ -1,0 +1,121 @@
+"""End-to-end generation pipeline: condition image -> control tokens ->
+CFG decode -> VQ decode -> image.
+
+Replaces the reference's per-script wiring (ref autoregressive/sample/
+sample_c2i.py:27-123, sample_t2i.py:34-183) with one reusable object.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlar_tpu.config import GPTConfig, VQConfig
+from controlar_tpu import generate as jgen
+from controlar_tpu.models import gpt as gpt_model
+from controlar_tpu.models import vq as vq_model
+from controlar_tpu.models import vit as vit_model
+from controlar_tpu.models import control_nets
+from controlar_tpu.ops.canny import canny
+from controlar_tpu.ops.resize import to_patch14
+
+
+def normalize_condition(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8-range control map -> [-1, 1] (ref sample_t2i.py:140-141,
+    dataset/t2i_control.py:110-115)."""
+    return 2.0 * (x.astype(jnp.float32) / 255.0 - 0.5)
+
+
+def to_uint8_image(x: jnp.ndarray) -> np.ndarray:
+    """[-1,1] NHWC float -> uint8 (torchvision save_image semantics:
+    clamp then scale)."""
+    x = jnp.clip(x, -1.0, 1.0)
+    return np.asarray((255.0 * (x + 1.0) / 2.0) + 0.5).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class ControlARPipeline:
+    gpt_cfg: GPTConfig
+    gpt_params: Any
+    vq_cfg: VQConfig
+    vq_params: Any
+    adapter_cfg: vit_model.ViTConfig
+    adapter_params: Any
+    condition_type: str = "canny"
+    hed_params: Any = None
+    lineart_params: Any = None
+    depth_fn: Any = None  # callable (B,H,W,3) uint8 -> (B,H,W) in 0..255
+
+    # ------------------------------------------------------------------
+    def extract_condition(self, images_u8: np.ndarray) -> jnp.ndarray:
+        """RGB uint8 (B,H,W,3) -> normalized 3-channel control map
+        (ref sample_t2i.py:106-141 dispatch)."""
+        x = jnp.asarray(images_u8)
+        ct = self.condition_type
+        if ct == "canny":
+            cond = canny(x, 100, 200).astype(jnp.float32)
+        elif ct == "hed":
+            cond = control_nets.hed_forward(self.hed_params, x.astype(jnp.float32))
+        elif ct == "lineart":
+            cond = control_nets.lineart_forward(
+                self.lineart_params, x.astype(jnp.float32)
+            ) * 255.0
+        elif ct == "depth":
+            assert self.depth_fn is not None, "depth estimator not configured"
+            cond = jnp.asarray(self.depth_fn(images_u8))
+        elif ct == "seg":
+            cond = x.astype(jnp.float32).mean(-1)  # seg maps arrive pre-rendered
+        else:
+            raise ValueError(ct)
+        cond3 = jnp.repeat(cond[..., None], 3, axis=-1)
+        return normalize_condition(cond3)
+
+    def control_features(self, condition: jnp.ndarray) -> jnp.ndarray:
+        """Normalized condition (B,H,W,3) -> adapter tokens (B, hw/256, C)
+        (ref Dinov2_Adapter.forward: dinov2_adapter.py:26-29)."""
+        x = to_patch14(condition, self.condition_type)
+        return vit_model.vit_forward(self.adapter_params, self.adapter_cfg, x)
+
+    # ------------------------------------------------------------------
+    def generate(
+        self,
+        *,
+        labels: Optional[np.ndarray] = None,
+        caption_emb: Optional[np.ndarray] = None,
+        emb_masks: Optional[np.ndarray] = None,
+        condition_images: Optional[np.ndarray] = None,
+        cfg_scale: float = 4.0,
+        temperature: float = 1.0,
+        top_k: int = 2000,
+        top_p: float = 1.0,
+        control_strength: float = 1.0,
+        seed: int = 0,
+    ) -> np.ndarray:
+        """Returns generated images as uint8 (B, H, W, 3)."""
+        adapter_feats = None
+        if condition_images is not None:
+            cond = self.extract_condition(condition_images)
+            adapter_feats = self.control_features(cond)
+
+        tokens = jgen.generate(
+            self.gpt_params,
+            self.gpt_cfg,
+            labels=None if labels is None else jnp.asarray(labels),
+            caption_emb=None if caption_emb is None else jnp.asarray(caption_emb),
+            emb_masks=None if emb_masks is None else jnp.asarray(emb_masks),
+            adapter_features=adapter_feats,
+            max_new_tokens=self.gpt_cfg.block_size,
+            cfg_scale=cfg_scale,
+            temperature=temperature,
+            top_k=top_k,
+            top_p=top_p,
+            control_strength=control_strength,
+            rng=jax.random.PRNGKey(seed),
+        )
+        g = self.gpt_cfg.grid_size
+        codes = tokens.reshape(-1, g, g)
+        imgs = vq_model.decode_code(self.vq_params, self.vq_cfg, codes)
+        return to_uint8_image(imgs)
