@@ -1,0 +1,165 @@
+"""Fast decode engine: flat per-layer KV caches + Pallas flash-decode.
+
+This is the performance-critical inference path (the reference needed a vLLM
+fork + CUDA graphs for this, ref serve/; SURVEY.md §6). Differences from the
+portable scan path in models/gpt.py:
+
+- Caches are per-layer (B, S, H*D) arrays carried as a flat tuple — XLA keeps
+  the row-append dynamic-update-slice in place across the decode scan, and
+  each layer's slab feeds the Pallas kernel without a gather from a stacked
+  (L, ...) array.
+- The layer loop is a Python (unrolled) loop: no scan xs/ys re-stacking of
+  multi-hundred-MB cache tensors per step (measured 4.6x on v5e).
+- Attention is the flash_decode kernel on TPU (reads only rows [0, pos]);
+  a masked full-slab XLA einsum otherwise (CPU tests, emb-mask prefixes).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from controlar_tpu.config import GPTConfig
+from controlar_tpu.models.gpt import (
+    Params,
+    _fusion_gates,
+    _qkv,
+    make_rope_table,
+)
+from controlar_tpu.ops.flash_decode import flash_decode_attention
+from controlar_tpu.ops.norms import rms_norm
+
+Caches = Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]
+
+
+def init_flat_caches(
+    cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+) -> Caches:
+    shape = (batch, max_seq, cfg.kv_heads * cfg.head_dim)
+    ks = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
+    vs = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
+    return ks, vs
+
+
+def _layer_params(params: Params, l: int):
+    return jax.tree.map(lambda a: a[l], params["layers"])
+
+
+def _logits(params: Params, cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
+    h = rms_norm(h, params["norm"], cfg.norm_eps)
+    return (h @ params["output"]).astype(jnp.float32)
+
+
+def prefill_flat(
+    params: Params,
+    cfg: GPTConfig,
+    caches: Caches,
+    prefix_emb: jnp.ndarray,
+    fused3: Optional[jnp.ndarray],
+    col_mask: Optional[jnp.ndarray],
+    control_strength=1.0,
+) -> Tuple[jnp.ndarray, Caches]:
+    """Prefill the prefix; returns (last-position logits, caches)."""
+    b, t, _ = prefix_emb.shape
+    gate, fidx = _fusion_gates(cfg)
+    rope = make_rope_table(cfg)[:t]
+    rows = np.arange(t)[:, None]
+    cols = np.arange(t)[None, :]
+    causal = jnp.asarray(rows >= cols)
+    if col_mask is not None:
+        m = causal[None] & (col_mask[:, None, :] | jnp.asarray(rows == cols)[None])
+    else:
+        m = causal[None]
+    mask = m[:, None]  # (B|1, 1, T, T)
+
+    ks, vs = list(caches[0]), list(caches[1])
+    h = prefix_emb
+    hd = cfg.n_head * cfg.head_dim
+    for l in range(cfg.n_layer):
+        lp = _layer_params(params, l)
+        if fused3 is not None and gate[l] > 0:
+            add = (control_strength * fused3[fidx[l]][:, 0:1]).astype(h.dtype)
+            h = jnp.concatenate([h[:, :-1], h[:, -1:] + add], axis=1)
+        x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, x, rope)
+        ks[l] = jax.lax.dynamic_update_slice(
+            ks[l], k.reshape(b, t, hd).astype(ks[l].dtype), (0, 0, 0)
+        )
+        vs[l] = jax.lax.dynamic_update_slice(
+            vs[l], v.reshape(b, t, hd).astype(vs[l].dtype), (0, 0, 0)
+        )
+        scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
+        scores = scores * (1.0 / np.sqrt(cfg.head_dim))
+        scores = jnp.where(mask, scores, -jnp.inf)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        attn = jnp.einsum(
+            "bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32
+        ).astype(x.dtype).reshape(b, t, hd)
+        h = h + attn @ lp["wo"]
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, (tuple(ks), tuple(vs))
+
+
+def decode_step_flat(
+    params: Params,
+    cfg: GPTConfig,
+    caches: Caches,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    fused3: Optional[jnp.ndarray],
+    col_mask_full: Optional[jnp.ndarray],
+    control_strength=1.0,
+    use_flash: bool = True,
+) -> Tuple[jnp.ndarray, Caches]:
+    """One decode step at position pos. token: (B,)."""
+    b = token.shape[0]
+    hd = cfg.n_head * cfg.head_dim
+    gate, fidx = _fusion_gates(cfg)
+    h = params["tok_embeddings"][token][:, None, :]
+    rope = jax.lax.dynamic_slice_in_dim(make_rope_table(cfg), pos, 1, axis=0)
+    fuse_pos = pos - cfg.cls_token_num + 1
+
+    s_max = caches[0][0].shape[1]
+    if not use_flash:
+        cols = jnp.arange(s_max)
+        allowed = cols[None, :] <= pos
+        if col_mask_full is not None:
+            allowed = allowed & col_mask_full
+        mask = allowed[:, None, None, :]
+
+    ks, vs = list(caches[0]), list(caches[1])
+    for l in range(cfg.n_layer):
+        lp = _layer_params(params, l)
+        if fused3 is not None and gate[l] > 0:
+            row = jax.lax.dynamic_slice_in_dim(fused3[fidx[l]], fuse_pos, 1, axis=1)
+            h = h + (control_strength * row).astype(h.dtype)
+        x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, x, rope)  # (B, 1, H, D)
+        kr = k.reshape(b, 1, hd).astype(ks[l].dtype)
+        vr = v.reshape(b, 1, hd).astype(vs[l].dtype)
+        ks[l] = jax.lax.dynamic_update_slice(ks[l], kr, (0, pos, 0))
+        vs[l] = jax.lax.dynamic_update_slice(vs[l], vr, (0, pos, 0))
+        if use_flash:
+            attn = flash_decode_attention(
+                q.reshape(b, hd), ks[l], vs[l], pos, n_head=cfg.n_head
+            ).astype(h.dtype)[:, None, :]
+        else:
+            kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = vs[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
+            ) * (1.0 / np.sqrt(cfg.head_dim))
+            scores = jnp.where(mask, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            attn = jnp.einsum(
+                "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
+            ).astype(h.dtype).reshape(b, 1, hd)
+        h = h + attn @ lp["wo"]
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, (tuple(ks), tuple(vs))

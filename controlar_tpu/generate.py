@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from controlar_tpu.config import GPTConfig, find_multiple
+from controlar_tpu import decode as decode_engine
 from controlar_tpu.models import gpt as gpt_model
 from controlar_tpu.ops.sampling import top_k_top_p_filter
 
@@ -39,6 +40,7 @@ def _sample_from(rng, logits, temperature, top_k, top_p, sample_logits):
     static_argnames=(
         "cfg", "max_new_tokens", "cfg_scale", "cfg_interval",
         "temperature", "top_k", "top_p", "sample_logits", "cache_dtype",
+        "use_flash",
     ),
     donate_argnums=(),
 )
@@ -59,6 +61,7 @@ def generate_tokens(
     top_p: float = 1.0,
     sample_logits: bool = True,
     cache_dtype=jnp.bfloat16,
+    use_flash: bool = False,
 ) -> jnp.ndarray:
     """Generate image tokens. All CFG doubling must be done by the caller
     (prefix_emb/fused3/col_mask carry the [cond; uncond] 2B batch when
@@ -67,16 +70,19 @@ def generate_tokens(
     prefix_emb: (Bc, T_cls, dim) where Bc = 2B if cfg_scale > 1 else B.
     fused3: (3, Bc, block_size, dim) control projections or None.
     col_mask: (B_logical? ) -> must already be (Bc, T_cls) boolean, or None.
+    use_flash: route decode attention through the Pallas flash-decode kernel
+    (TPU only; requires col_mask=None until the kernel gains column masking).
     Returns (B, max_new_tokens) int32 tokens (conditional half only).
     """
     bc, t_cls, _ = prefix_emb.shape
     use_cfg = cfg_scale > 1.0
     b = bc // 2 if use_cfg else bc
-    s_max = find_multiple(t_cls + max_new_tokens, 8)
+    s_align = 256 if use_flash else 8
+    s_max = find_multiple(t_cls + max_new_tokens, s_align)
 
-    caches = gpt_model.init_kv_cache(cfg, bc, s_max, cache_dtype)
+    caches = decode_engine.init_flat_caches(cfg, bc, s_max, cache_dtype)
 
-    logits0, caches = gpt_model.prefill(
+    logits0, caches = decode_engine.prefill_flat(
         params, cfg, caches, prefix_emb, fused3, col_mask, control_strength
     )
 
@@ -113,8 +119,9 @@ def generate_tokens(
         caches, cur = carry
         pos = t_cls + i
         cur_c = jnp.concatenate([cur, cur], axis=0) if use_cfg else cur
-        logits, caches = gpt_model.decode_step(
-            params, cfg, caches, cur_c, pos, fused3, col_mask_full, control_strength
+        logits, caches = decode_engine.decode_step_flat(
+            params, cfg, caches, cur_c, pos, fused3, col_mask_full,
+            control_strength, use_flash=use_flash,
         )
         logits = mix_interval(logits, i + 1)
         nxt = _sample_from(
@@ -148,6 +155,7 @@ def generate(
     control_strength: float = 1.0,
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
     """High-level entry mirroring ref generate() (generate.py:134-204).
 
@@ -158,6 +166,14 @@ def generate(
     if rng is None:
         rng = jax.random.PRNGKey(0)
     use_cfg = cfg_scale > 1.0
+    if use_flash is None:
+        # auto: Pallas path on TPU; the kernel has no prefix column masking
+        # yet, so emb-mask batches take the XLA path
+        use_flash = (
+            jax.default_backend() == "tpu"
+            and emb_masks is None
+            and cfg.kv_heads == cfg.n_head
+        )
 
     if cfg.model_type == "c2i":
         assert labels is not None
@@ -203,4 +219,5 @@ def generate(
         top_p=top_p,
         sample_logits=sample_logits,
         cache_dtype=cache_dtype,
+        use_flash=use_flash,
     )

@@ -6,14 +6,13 @@ is a static slab per sequence, not paged, since image generation has fixed
 sequence lengths; SURVEY.md §2.9).
 
 Design (one kernel per layer per decode step, grid over batch):
-- K/V caches live in HBM as (B, S, H*D) slabs and are passed through with
-  input/output aliasing; the kernel itself appends the new row at `pos`
-  (no XLA dynamic-update-slice copy on the critical path).
-- Only blocks covering rows [0, pos) are DMA'd (double-buffered); invalid
-  tail blocks are never touched — the read volume tracks the true context
-  length instead of S_max.
-- The current position's contribution comes straight from VMEM (q.k_new),
-  which also removes any write-then-read hazard on row `pos`.
+- K/V caches live in HBM as (B, S, H*D) slabs. The new row at `pos` is
+  written by the caller with an XLA dynamic-update-slice (in-place inside the
+  decode scan carry; Mosaic cannot express a single-row HBM write because HBM
+  memrefs carry (8,128) tiling).
+- Only blocks covering rows [0, pos] are DMA'd (double-buffered); the tail
+  of the slab is never touched — read volume tracks the true context length
+  instead of S_max. This is the decode bandwidth win over plain XLA attention.
 - Per-head dots use a block-diagonal trick: scores = K_blk @ Qbd where
   Qbd[(h*D+d), h'] = q[h,d] * (h==h'), one MXU matmul for all heads; the
   value reduction expands probs to head-blocks with a second tiny matmul and
@@ -34,23 +33,12 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 256
 
 
-def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, k_hbm, v_hbm,
-            o_ref, k_out, v_out,
-            kbuf, vbuf, sem_k, sem_v, sem_w,
-            *, n_head: int, head_dim: int, block: int, s_max: int):
+def _kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref,
+            kbuf, vbuf, sem_k, sem_v,
+            *, n_head: int, head_dim: int, block: int):
     b = pl.program_id(0)
     pos = pos_ref[0]
     hd = n_head * head_dim
-
-    # append the new row to the caches (only consumed by *future* steps)
-    wk = pltpu.make_async_copy(
-        knew_ref, k_out.at[pl.ds(b, 1), pl.ds(pos, 1), :], sem_w.at[0]
-    )
-    wv = pltpu.make_async_copy(
-        vnew_ref, v_out.at[pl.ds(b, 1), pl.ds(pos, 1), :], sem_w.at[1]
-    )
-    wk.start()
-    wv.start()
 
     # block-diagonal q: (HD, H), col h carries q[h*D:(h+1)*D]
     row = jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 0)
@@ -59,27 +47,21 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, k_hbm, v_hbm,
     # minor-dim insertion on bf16 is unsupported in Mosaic — broadcast in f32
     qf = q_ref[0, 0, :].astype(jnp.float32)
     q_bd = jnp.where(head_mask, qf[:, None], 0.0).astype(jnp.bfloat16)
-    # head expansion mask for probs: (H, HD)
-    exp_mask = head_mask.T
+    # (H, HD) expansion mask built directly (bool transpose is unsupported)
+    erow = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 1)
+    exp_mask = (ecol // head_dim) == erow
 
     scale = 1.0 / np.sqrt(head_dim)
-
-    # current row's score from VMEM
-    s_new = jnp.dot(
-        knew_ref[0], q_bd, preferred_element_type=jnp.float32
-    ) * scale  # (1, H)
-
-    nblocks = pl.cdiv(pos, block)  # full/partial blocks of *previous* rows
+    nblocks = pl.cdiv(pos + 1, block)  # rows [0, pos] inclusive
 
     def get_dma(slot, i, buf, sem, hbm):
         return pltpu.make_async_copy(
             hbm.at[b, pl.ds(i * block, block), :], buf.at[slot], sem.at[slot]
         )
 
-    @pl.when(nblocks > 0)
-    def _():
-        get_dma(0, 0, kbuf, sem_k, k_hbm).start()
-        get_dma(0, 0, vbuf, sem_v, v_hbm).start()
+    get_dma(0, 0, kbuf, sem_k, k_hbm).start()
+    get_dma(0, 0, vbuf, sem_v, v_hbm).start()
 
     def body(i, carry):
         m, l, acc = carry  # (1,H) f32, (1,H) f32, (1,HD) f32
@@ -98,18 +80,18 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, k_hbm, v_hbm,
         vb = vbuf[slot]
         s = jnp.dot(kb, q_bd, preferred_element_type=jnp.float32) * scale  # (block, H)
         rows = i * block + jax.lax.broadcasted_iota(jnp.int32, (block, n_head), 0)
-        s = jnp.where(rows < pos, s, -jnp.inf)
+        s = jnp.where(rows <= pos, s, -jnp.inf)
 
         m_blk = jnp.max(s, axis=0, keepdims=True)  # (1, H)
         m_new = jnp.maximum(m, m_blk)
-        alpha = jnp.exp(m - m_new)  # rescale old stats
+        alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)  # (block, H)
         l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
         # expand probs to (block, HD) with one tiny matmul, weight V, reduce
         p_e = jnp.dot(
             p.astype(jnp.bfloat16), exp_mask.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
-        )  # (block, HD)
+        )
         term = jnp.sum(p_e * vb.astype(jnp.float32), axis=0, keepdims=True)
         alpha_e = jnp.dot(
             alpha.astype(jnp.bfloat16), exp_mask.astype(jnp.bfloat16),
@@ -123,91 +105,54 @@ def _kernel(pos_ref, q_ref, knew_ref, vnew_ref, k_hbm, v_hbm,
     acc0 = jnp.zeros((1, hd), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, nblocks, body, (m0, l0, acc0))
 
-    # fold in the current row (score s_new, value vnew)
-    m_new = jnp.maximum(m, s_new)
-    alpha = jnp.exp(m - m_new)
-    p_cur = jnp.exp(s_new - m_new)  # (1, H)
-    l = l * alpha + p_cur
-    p_cur_e = jnp.dot(
-        p_cur.astype(jnp.bfloat16), exp_mask.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    alpha_e = jnp.dot(
-        alpha.astype(jnp.bfloat16), exp_mask.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    acc = acc * alpha_e + p_cur_e * vnew_ref[0].astype(jnp.float32)
-    l_e = jnp.dot(
-        l.astype(jnp.float32), exp_mask.astype(jnp.float32),
-        preferred_element_type=jnp.float32,
-    )
+    l_e = jnp.dot(l, exp_mask.astype(jnp.float32), preferred_element_type=jnp.float32)
     o_ref[0] = (acc / l_e).astype(o_ref.dtype)
-
-    wk.wait()
-    wv.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("n_head", "block", "interpret"))
 def flash_decode_attention(
     q: jnp.ndarray,       # (B, H*D) bf16 — already rotated
-    k_new: jnp.ndarray,   # (B, H*D)
-    v_new: jnp.ndarray,   # (B, H*D)
-    k_cache: jnp.ndarray,  # (B, S, H*D) — HBM slab, donated/aliased
+    k_cache: jnp.ndarray,  # (B, S, H*D) — row `pos` must already be written
     v_cache: jnp.ndarray,
-    pos: jnp.ndarray,      # scalar int32: current write/read position
+    pos: jnp.ndarray,      # scalar int32: current position (attends [0, pos])
     *,
     n_head: int,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (attn_out (B, H*D), k_cache', v_cache')."""
+) -> jnp.ndarray:
+    """Returns attn_out (B, H*D)."""
     b, s, hd = k_cache.shape
     head_dim = hd // n_head
     kernel = functools.partial(
-        _kernel, n_head=n_head, head_dim=head_dim, block=block, s_max=s
+        _kernel, n_head=n_head, head_dim=head_dim, block=block
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[
-            pl.BlockSpec((1, 1, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, hd), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, block, hd), jnp.bfloat16),
             pltpu.VMEM((2, block, hd), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out, k_cache, v_cache = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
-            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
-            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
-        ],
-        # operand indices include the scalar-prefetch arg: pos=0, q=1,
-        # k_new=2, v_new=3, k_cache=4, v_cache=5
-        input_output_aliases={4: 1, 5: 2},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         interpret=interpret,
     )(
         pos.reshape(1).astype(jnp.int32),
         q.astype(jnp.bfloat16)[:, None, :],
-        k_new.astype(jnp.bfloat16)[:, None, :],
-        v_new.astype(jnp.bfloat16)[:, None, :],
         k_cache,
         v_cache,
     )
-    return out[:, 0, :], k_cache, v_cache
+    return out[:, 0, :]

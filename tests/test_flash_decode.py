@@ -1,0 +1,53 @@
+"""Flash-decode kernel correctness (interpret mode, CPU) vs naive attention."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from controlar_tpu.ops.flash_decode import flash_decode_attention
+
+
+def _naive(kc, vc, q, pos, H):
+    B, S, HD = kc.shape
+    D = HD // H
+    k4 = kc.reshape(B, S, H, D)
+    v4 = vc.reshape(B, S, H, D)
+    q4 = q.reshape(B, H, D)
+    out = np.zeros((B, H, D), np.float32)
+    for b in range(B):
+        for h in range(H):
+            s = (k4[b, :, h] @ q4[b, h]) / np.sqrt(D)
+            s[pos + 1:] = -np.inf
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            out[b, h] = p @ v4[b, :, h]
+    return out.reshape(B, HD)
+
+
+@pytest.mark.parametrize("pos", [0, 1, 63, 200, 511])
+def test_flash_decode_matches_naive(pos):
+    B, S, H, D = 2, 512, 4, 64
+    HD = H * D
+    rng = np.random.default_rng(pos)
+    kc = np.zeros((B, S, HD), np.float32)
+    vc = np.zeros((B, S, HD), np.float32)
+    kc[:, : pos + 1] = rng.standard_normal((B, pos + 1, HD))
+    vc[:, : pos + 1] = rng.standard_normal((B, pos + 1, HD))
+    q = (rng.standard_normal((B, HD)) * 0.3).astype(np.float32)
+
+    kcb = np.asarray(jnp.asarray(kc, jnp.bfloat16), np.float32)
+    vcb = np.asarray(jnp.asarray(vc, jnp.bfloat16), np.float32)
+    qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+    want = _naive(kcb, vcb, qb, pos, H)
+
+    out = flash_decode_attention(
+        jnp.asarray(q),
+        jnp.asarray(kc, jnp.bfloat16),
+        jnp.asarray(vc, jnp.bfloat16),
+        jnp.asarray(pos),
+        n_head=H,
+        block=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
