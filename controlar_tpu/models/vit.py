@@ -81,11 +81,12 @@ def vit_forward(params: Params, cfg: ViTConfig, x: jnp.ndarray) -> jnp.ndarray:
     b, h, w, _ = x.shape
     p = cfg.patch_size
     gh, gw = h // p, w // p
+    # no preferred_element_type: its AD transpose mismatches dtypes under
+    # bf16 training; TPU convs accumulate fp32 internally regardless
     patches = jax.lax.conv_general_dilated(
         x, params["patch_proj"]["w"], (p, p), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + params["patch_proj"]["b"]
+    ) + params["patch_proj"]["b"]
     tokens = patches.reshape(b, gh * gw, cfg.hidden_size)
     cls = jnp.broadcast_to(params["cls_token"][None, None, :], (b, 1, cfg.hidden_size))
     hstate = jnp.concatenate([cls, tokens], axis=1)

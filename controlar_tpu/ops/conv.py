@@ -20,8 +20,7 @@ def conv2d(
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b
     return y
@@ -48,8 +47,7 @@ def conv_transpose2d(
         x, w, window_strides=(1, 1), padding=(pad_h, pad_w),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype)
+    )
     if b is not None:
         y = y + b
     return y

@@ -53,6 +53,27 @@ def gpt_param_specs(cfg: GPTConfig) -> Dict[str, Any]:
     }
 
 
+def vit_param_specs(vit_params) -> Dict[str, Any]:
+    """Partition specs for the control-encoder ViT (structure-driven:
+    shard the two biggest axes of each stacked linear over fsdp/tp)."""
+    def spec(path, p):
+        k = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        parent = path[-2].key if len(path) > 1 and hasattr(path[-2], "key") else ""
+        if parent in ("q", "k", "v", "out", "fc1", "fc2") and k == "w":
+            return P(None, "fsdp", "tp") if parent in ("q", "k", "v", "fc1") else P(None, "tp", "fsdp")
+        return P(*([None] * p.ndim))
+
+    return jax.tree_util.tree_map_with_path(spec, vit_params)
+
+
+def control_train_specs(params, cfg: GPTConfig) -> Dict[str, Any]:
+    """Specs for the full {'gpt', 'adapter'} training pytree."""
+    return {
+        "gpt": gpt_param_specs(cfg),
+        "adapter": vit_param_specs(params["adapter"]),
+    }
+
+
 def batch_spec() -> P:
     """Data batch: sharded over both data-parallel axes."""
     return P(("data", "fsdp"))

@@ -1,0 +1,187 @@
+"""Training driver: wires data, sharded step, logging, checkpointing.
+
+One driver replaces the reference's 12 trainer scripts (ref
+autoregressive/train/train_*.py — same skeleton each: dist init, exp dir,
+model, optimizer, loader, autocast loss, clip, ckpt; SURVEY.md §2.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+
+from controlar_tpu.config import GPTConfig, gpt_config
+from controlar_tpu.models import gpt as gpt_model
+from controlar_tpu.models import vit as vit_model
+from controlar_tpu.parallel.mesh import make_mesh
+from controlar_tpu.parallel.sharding import batch_spec, control_train_specs
+from controlar_tpu.train.optimizer import make_optimizer
+from controlar_tpu.train.step import init_train_state
+from controlar_tpu.train.control_step import make_control_train_step
+from controlar_tpu import checkpoint as ckpt_lib
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    # model
+    gpt_model: str = "GPT-XL"
+    model_type: str = "t2i"
+    image_size: int = 512
+    downsample_size: int = 16
+    condition_type: str = "canny"
+    adapter_size: str = "small"
+    cls_token_num: int = 120
+    vocab_size: int = 16384
+    dropout_p: float = 0.1
+    # optimization (ref trainer defaults)
+    lr: float = 1e-4
+    weight_decay: float = 5e-2
+    beta1: float = 0.9
+    beta2: float = 0.95
+    max_grad_norm: float = 1.0
+    global_batch_size: int = 32
+    epochs: int = 10
+    ema: bool = False
+    ema_decay: float = 0.9999
+    class_dropout_prob: float = 0.1
+    # mesh
+    data_axis: int = -1
+    fsdp_axis: int = 1
+    tp_axis: int = 1
+    # io
+    results_dir: str = "results"
+    ckpt_every: int = 10000
+    log_every: int = 100
+    gpt_ckpt: Optional[str] = None       # init weights (LlamaGen base)
+    resume_dir: Optional[str] = None
+    seed: int = 0
+
+    def build_gpt_config(self) -> GPTConfig:
+        block = (self.image_size // self.downsample_size) ** 2
+        return gpt_config(
+            self.gpt_model,
+            model_type=self.model_type,
+            block_size=block,
+            cls_token_num=self.cls_token_num,
+            vocab_size=self.vocab_size,
+            condition_type=self.condition_type,
+            adapter_size=self.adapter_size,
+            class_dropout_prob=self.class_dropout_prob,
+            token_dropout_p=self.dropout_p,
+            resid_dropout_p=self.dropout_p,
+            ffn_dropout_p=self.dropout_p,
+        )
+
+    def build_adapter_config(self) -> vit_model.ViTConfig:
+        return (
+            vit_model.DINOV2_SMALL if self.adapter_size == "small"
+            else vit_model.DINOV2_BASE
+        )
+
+
+class Trainer:
+    def __init__(self, cfg: TrainerConfig, frozen: Optional[Dict[str, Any]] = None):
+        self.cfg = cfg
+        self.gpt_cfg = cfg.build_gpt_config()
+        self.adapter_cfg = cfg.build_adapter_config()
+        self.mesh = make_mesh(data=cfg.data_axis, fsdp=cfg.fsdp_axis, tp=cfg.tp_axis)
+        self.tx = make_optimizer(
+            lr=cfg.lr, weight_decay=cfg.weight_decay, beta1=cfg.beta1,
+            beta2=cfg.beta2, max_grad_norm=cfg.max_grad_norm,
+        )
+        self.step_fn = jax.jit(
+            make_control_train_step(
+                self.gpt_cfg, self.adapter_cfg, self.tx, cfg.condition_type,
+                frozen=frozen, ema_decay=cfg.ema_decay if cfg.ema else None,
+            ),
+            donate_argnums=0,
+        )
+        self.bspec = NamedSharding(self.mesh, batch_spec())
+        os.makedirs(cfg.results_dir, exist_ok=True)
+        self._log_file = open(os.path.join(cfg.results_dir, "log.txt"), "a")
+
+    def log(self, msg: str):
+        if jax.process_index() == 0:
+            print(msg, flush=True)
+            self._log_file.write(msg + "\n")
+            self._log_file.flush()
+
+    def init_state(self):
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        with jax.set_mesh(self.mesh):
+            gpt_params = gpt_model.init_gpt_params(rng, self.gpt_cfg)
+            if cfg.gpt_ckpt:
+                loaded = ckpt_lib.load_gpt_checkpoint(cfg.gpt_ckpt, self.gpt_cfg)
+                gpt_params = jax.tree.map(
+                    lambda cur, new: jnp.asarray(np.asarray(new), cur.dtype),
+                    gpt_params, loaded,
+                )
+            params = {
+                "gpt": gpt_params,
+                "adapter": vit_model.init_vit_params(
+                    jax.random.fold_in(rng, 1), self.adapter_cfg
+                ),
+            }
+            specs = control_train_specs(params, self.gpt_cfg)
+            params = jax.tree.map(
+                lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+                params, specs,
+            )
+            state = init_train_state(rng, self.gpt_cfg, self.tx, params=params,
+                                     use_ema=cfg.ema)
+        if cfg.resume_dir:
+            latest = ckpt_lib.latest_checkpoint(cfg.resume_dir)
+            if latest:
+                abstract = jax.tree.map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding),
+                    state,
+                )
+                state = ckpt_lib.restore_train_state(latest, abstract)
+                self.log(f"resumed from {latest} at step {int(state.step)}")
+        return state
+
+    def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        return {
+            k: jax.device_put(v, self.bspec)
+            for k, v in batch.items()
+            if not isinstance(v, list)
+        }
+
+    def fit(self, loader, state=None, max_steps: Optional[int] = None):
+        cfg = self.cfg
+        state = state if state is not None else self.init_state()
+        rng = jax.random.PRNGKey(cfg.seed + 1234)
+        t0 = time.time()
+        running = []
+        with jax.set_mesh(self.mesh):
+            for epoch in range(cfg.epochs):
+                loader.set_epoch(epoch)
+                for batch in loader:
+                    state, metrics = self.step_fn(state, self.put_batch(batch), rng)
+                    running.append(metrics)
+                    step = int(state.step)
+                    if step % cfg.log_every == 0:
+                        losses = np.mean([float(m["loss"]) for m in running])
+                        dt = time.time() - t0
+                        sps = len(running) / dt
+                        self.log(
+                            f"step={step:07d} epoch={epoch} loss={losses:.4f} "
+                            f"steps/sec={sps:.2f}"
+                        )
+                        running, t0 = [], time.time()
+                    if step % cfg.ckpt_every == 0 and jax.process_index() == 0:
+                        path = ckpt_lib.save_train_state(
+                            os.path.join(cfg.results_dir, "checkpoints"), state
+                        )
+                        self.log(f"saved {path}")
+                    if max_steps is not None and step >= max_steps:
+                        return state
+        return state
