@@ -104,6 +104,71 @@ def prefill_flat(
     return logits, (tuple(ks), tuple(vs))
 
 
+def decode_step_multi(
+    params: Params,
+    cfg: GPTConfig,
+    caches: Caches,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    fused3: Optional[jnp.ndarray] = None,
+    control_strength=1.0,
+    use_flash: bool = True,
+) -> Tuple[jnp.ndarray, Caches]:
+    """Decode step with PER-SLOT positions: pos (B,) int32 — the serving
+    engine's continuous-batching primitive (each slot at its own depth;
+    replaces the reference's vLLM scheduler+paged attention machinery,
+    serve/model_runner.py)."""
+    b = token.shape[0]
+    hd = cfg.n_head * cfg.head_dim
+    gate, fidx = _fusion_gates(cfg)
+    h = params["tok_embeddings"][token][:, None, :]
+    rope = make_rope_table(cfg)[pos][:, None]  # (B, 1, D/2, 2)
+    fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
+
+    s_max = caches[0][0].shape[1]
+    if not use_flash:
+        cols = jnp.arange(s_max)
+        mask = (cols[None, :] <= pos[:, None])[:, None, None, :]
+
+    def write_row(cache, row, p):
+        return jax.vmap(
+            lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
+        )(cache, row, p)
+
+    ks, vs = list(caches[0]), list(caches[1])
+    for l in range(cfg.n_layer):
+        lp = _layer_params(params, l)
+        if fused3 is not None and gate[l] > 0:
+            row = jax.vmap(
+                lambda f, p: jax.lax.dynamic_slice_in_dim(f, p, 1, axis=0)
+            )(fused3[fidx[l]], fuse_pos)
+            h = h + (control_strength * row).astype(h.dtype)
+        x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv(lp, cfg, x, rope)
+        ks[l] = write_row(ks[l], k.reshape(b, 1, hd).astype(ks[l].dtype), pos)
+        vs[l] = write_row(vs[l], v.reshape(b, 1, hd).astype(vs[l].dtype), pos)
+        if use_flash:
+            attn = flash_decode_attention(
+                q.reshape(b, hd), ks[l], vs[l], pos, n_head=cfg.n_head
+            ).astype(h.dtype)[:, None, :]
+        else:
+            kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = vs[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
+            ) * (1.0 / np.sqrt(cfg.head_dim))
+            scores = jnp.where(mask, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            attn = jnp.einsum(
+                "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
+            ).astype(h.dtype).reshape(b, 1, hd)
+        h = h + attn @ lp["wo"]
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, (tuple(ks), tuple(vs))
+
+
 def decode_step_flat(
     params: Params,
     cfg: GPTConfig,

@@ -37,7 +37,9 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref,
             kbuf, vbuf, sem_k, sem_v,
             *, n_head: int, head_dim: int, block: int):
     b = pl.program_id(0)
-    pos = pos_ref[0]
+    # per-slot positions: pos_ref is (B,) — continuous-batching serving runs
+    # every slot at its own depth (scalar callers broadcast)
+    pos = pos_ref[b]
     hd = n_head * head_dim
 
     # block-diagonal q: (HD, H), col h carries q[h*D:(h+1)*D]
@@ -114,7 +116,7 @@ def flash_decode_attention(
     q: jnp.ndarray,       # (B, H*D) bf16 — already rotated
     k_cache: jnp.ndarray,  # (B, S, H*D) — row `pos` must already be written
     v_cache: jnp.ndarray,
-    pos: jnp.ndarray,      # scalar int32: current position (attends [0, pos])
+    pos: jnp.ndarray,      # scalar or (B,) int32 positions (attend [0, pos_b])
     *,
     n_head: int,
     block: int = DEFAULT_BLOCK,
@@ -150,7 +152,7 @@ def flash_decode_attention(
         out_shape=jax.ShapeDtypeStruct((b, 1, hd), q.dtype),
         interpret=interpret,
     )(
-        pos.reshape(1).astype(jnp.int32),
+        jnp.broadcast_to(pos.astype(jnp.int32).reshape(-1), (b,)),
         q.astype(jnp.bfloat16)[:, None, :],
         k_cache,
         v_cache,

@@ -80,14 +80,19 @@ def precompute_rope_2d_rect(
 
 
 def apply_rope(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
-    """Rotate q or k. x: (B, T, H, D); rope: (T, D//2, 2) fp32.
+    """Rotate q or k. x: (B, T, H, D); rope: (T, D//2, 2) fp32, or
+    (B, T, D//2, 2) for per-sequence positions (continuous-batching decode).
 
     Matches ref gpt_t2i.py:522-532: compute in fp32, cast back to x.dtype.
     """
     b, t, h, d = x.shape
     xf = x.astype(jnp.float32).reshape(b, t, h, d // 2, 2)
-    cos = rope[None, :, None, :, 0]
-    sin = rope[None, :, None, :, 1]
+    if rope.ndim == 4:
+        cos = rope[:, :, None, :, 0]
+        sin = rope[:, :, None, :, 1]
+    else:
+        cos = rope[None, :, None, :, 0]
+        sin = rope[None, :, None, :, 1]
     even = xf[..., 0] * cos - xf[..., 1] * sin
     odd = xf[..., 1] * cos + xf[..., 0] * sin
     out = jnp.stack([even, odd], axis=-1).reshape(b, t, h, d)
