@@ -47,7 +47,9 @@ class ControlARPipeline:
     condition_type: str = "canny"
     hed_params: Any = None
     lineart_params: Any = None
-    depth_fn: Any = None  # callable (B,H,W,3) uint8 -> (B,H,W) in 0..255
+    dpt_params: Any = None
+    dpt_cfg: Any = None
+    depth_fn: Any = None  # optional override: (B,H,W,3) uint8 -> (B,H,W) 0..255
 
     # ------------------------------------------------------------------
     def extract_condition(self, images_u8: np.ndarray) -> jnp.ndarray:
@@ -64,8 +66,15 @@ class ControlARPipeline:
                 self.lineart_params, x.astype(jnp.float32)
             ) * 255.0
         elif ct == "depth":
-            assert self.depth_fn is not None, "depth estimator not configured"
-            cond = jnp.asarray(self.depth_fn(images_u8))
+            if self.depth_fn is not None:
+                cond = jnp.asarray(self.depth_fn(images_u8))
+            else:
+                assert self.dpt_params is not None, "depth estimator not configured"
+                from controlar_tpu.models import dpt as dpt_model
+
+                pre = dpt_model.preprocess_depth_input(x, size=x.shape[1])
+                depth = dpt_model.dpt_depth(self.dpt_params, self.dpt_cfg, pre)
+                cond = dpt_model.depth_to_condition(depth)
         elif ct == "seg":
             cond = x.astype(jnp.float32).mean(-1)  # seg maps arrive pre-rendered
         else:
