@@ -28,6 +28,7 @@ from controlar_tpu.models.gpt import (
     _qkv,
     make_rope_table,
 )
+from controlar_tpu.ops.cache_append import cache_append_rows
 from controlar_tpu.ops.flash_decode import flash_decode_attention
 from controlar_tpu.ops.norms import rms_norm
 
@@ -131,6 +132,10 @@ def decode_step_multi(
         mask = (cols[None, :] <= pos[:, None])[:, None, None, :]
 
     def write_row(cache, row, p):
+        if use_flash:
+            # Pallas RMW append: XLA's vmapped DUS lowers to a scatter that
+            # is catastrophically slow on TPU
+            return cache_append_rows(cache, row[:, 0], p)
         return jax.vmap(
             lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
         )(cache, row, p)

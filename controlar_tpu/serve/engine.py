@@ -91,7 +91,7 @@ class ServeEngine:
         return bool(self.waiting) or self.active.any()
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self",))
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
     def _admit_jit(self, caches, fused, prefix_emb, fused3_req, rows):
         """Prefill one request (batch 2: cond/uncond) and scatter its slot."""
         small = dec.init_flat_caches(
