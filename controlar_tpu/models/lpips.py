@@ -36,7 +36,7 @@ def vgg16_features(p: Params, x: jnp.ndarray) -> List[jnp.ndarray]:
         if si > 0:
             h = max_pool2d(h, 2, 2)
         for ci in slice_ids:
-            conv = p["convs"][str(ci)]
+            conv = p[str(ci)]
             h = jax.nn.relu(conv2d(h, conv["w"], conv["b"]))
         feats.append(h)
     return feats
