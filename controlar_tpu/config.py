@@ -45,6 +45,11 @@ class GPTConfig:
     vocab_size: int = 16384
     cls_token_num: int = 1
     block_size: int = 256
+    # arbitrary-resolution: explicit (rows, cols) token grid. When set, the
+    # 2D RoPE table is generated for this exact rectangle (fixing the
+    # reference's 48x48-slice row-alignment caveat, sample_t2i_MR.py;
+    # SURVEY.md §5) and block_size must equal rows*cols.
+    grid_hw: Optional[Tuple[int, int]] = None
     # control-encoder (adapter) config
     adapter_size: str = "small"  # 'small' (384-d) | 'base' (768-d)
     condition_type: str = "canny"
@@ -77,10 +82,27 @@ class GPTConfig:
         return {"small": 384, "base": 768}[self.adapter_size]
 
     @property
+    def grid(self) -> Tuple[int, int]:
+        if self.grid_hw is not None:
+            gh, gw = self.grid_hw
+            assert gh * gw == self.block_size, (self.grid_hw, self.block_size)
+            return gh, gw
+        g = int(self.block_size ** 0.5)
+        assert g * g == self.block_size, "block_size must be square (or set grid_hw)"
+        return g, g
+
+    @property
     def grid_size(self) -> int:
         g = int(self.block_size ** 0.5)
         assert g * g == self.block_size, "block_size must be a square"
         return g
+
+    def with_resolution(self, grid_h: int, grid_w: int) -> "GPTConfig":
+        """Derive a config for an arbitrary (grid_h, grid_w) token grid —
+        model weights are resolution-independent (RoPE has no parameters)."""
+        return dataclasses.replace(
+            self, block_size=grid_h * grid_w, grid_hw=(grid_h, grid_w)
+        )
 
     @property
     def max_seq_len(self) -> int:

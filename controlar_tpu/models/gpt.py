@@ -100,9 +100,20 @@ def init_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params
 
 
 def make_rope_table(cfg: GPTConfig) -> jnp.ndarray:
-    """(cls_token_num + block_size, head_dim//2, 2) fp32 cos/sin table."""
+    """(cls_token_num + block_size, head_dim//2, 2) fp32 cos/sin table.
+
+    Rectangular grids (arbitrary resolution) get an exact per-bucket table
+    rather than slicing rows from a square one (fixes the reference's MR
+    row-alignment caveat, SURVEY.md §5)."""
+    gh, gw = cfg.grid
+    if gh == gw:
+        return jnp.asarray(
+            precompute_rope_2d(gh, cfg.head_dim, cfg.rope_base, cfg.cls_token_num)
+        )
+    from controlar_tpu.ops.rope import precompute_rope_2d_rect
+
     return jnp.asarray(
-        precompute_rope_2d(cfg.grid_size, cfg.head_dim, cfg.rope_base, cfg.cls_token_num)
+        precompute_rope_2d_rect(gh, gw, cfg.head_dim, cfg.rope_base, cfg.cls_token_num)
     )
 
 

@@ -124,7 +124,7 @@ class ControlARPipeline:
             control_strength=control_strength,
             rng=jax.random.PRNGKey(seed),
         )
-        g = self.gpt_cfg.grid_size
-        codes = tokens.reshape(-1, g, g)
+        gh, gw = self.gpt_cfg.grid
+        codes = tokens.reshape(-1, gh, gw)
         imgs = vq_model.decode_code(self.vq_params, self.vq_cfg, codes)
         return to_uint8_image(imgs)
