@@ -29,7 +29,7 @@ from controlar_tpu.models.gpt import (
     make_rope_table,
 )
 from controlar_tpu.ops.cache_append import cache_append_rows
-from controlar_tpu.ops.flash_decode import flash_decode_attention
+from controlar_tpu.ops.flash_decode2 import flash_decode_attention2 as flash_decode_attention
 from controlar_tpu.ops.norms import rms_norm
 
 Caches = Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]

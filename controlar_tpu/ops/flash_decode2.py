@@ -1,0 +1,155 @@
+"""Flash-decode attention, single-program variant.
+
+Same math as ops/flash_decode.py but grid=() with an internal batch loop:
+the grid-(B,) version pays 4 tiny pipelined block copies per batch element
+(~70us/call fixed overhead, which dominates bandwidth at decode shapes).
+Here q and out move as one (B, HD) copy and only the K/V block DMAs remain,
+double-buffered across both blocks and batch elements.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK = 256
+
+
+def _kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref,
+            kbuf, vbuf, sem_k, sem_v,
+            *, n_head: int, head_dim: int, block: int, batch: int):
+    hd = n_head * head_dim
+    scale = 1.0 / np.sqrt(head_dim)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 1)
+    head_mask = (row // head_dim) == col
+    erow = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 0)
+    ecol = jax.lax.broadcasted_iota(jnp.int32, (n_head, hd), 1)
+    exp_mask = ((ecol // head_dim) == erow).astype(jnp.bfloat16)
+    exp_mask_f = exp_mask.astype(jnp.float32)
+
+    def nblocks_of(b):
+        return pl.cdiv(pos_ref[b] + 1, block)
+
+    def get_dma(slot, b, i, buf, sem, hbm):
+        return pltpu.make_async_copy(
+            hbm.at[b, pl.ds(i * block, block), :], buf.at[slot], sem.at[slot]
+        )
+
+    # warm-up: first block of batch element 0
+    get_dma(0, 0, 0, kbuf, sem_k, k_hbm).start()
+    get_dma(0, 0, 0, vbuf, sem_v, v_hbm).start()
+
+    def body_b(b, slot0):
+        pos = pos_ref[b]
+        nb = nblocks_of(b)
+        # dynamic single-row VMEM load is not tileable; select-reduce instead
+        qsel = jax.lax.broadcasted_iota(jnp.int32, q_ref.shape, 0) == b
+        qf = jnp.sum(
+            jnp.where(qsel, q_ref[:].astype(jnp.float32), 0.0), axis=0
+        )
+        q_bd = jnp.where(head_mask, qf[:, None], 0.0).astype(jnp.bfloat16)
+
+        def body_blk(i, carry):
+            m, l, acc, slot = carry
+            nxt = (slot + 1) % 2
+
+            # prefetch: next block of this b, or first block of b+1
+            @pl.when(i + 1 < nb)
+            def _():
+                get_dma(nxt, b, i + 1, kbuf, sem_k, k_hbm).start()
+                get_dma(nxt, b, i + 1, vbuf, sem_v, v_hbm).start()
+
+            @pl.when((i + 1 == nb) & (b + 1 < batch))
+            def _():
+                get_dma(nxt, b + 1, 0, kbuf, sem_k, k_hbm).start()
+                get_dma(nxt, b + 1, 0, vbuf, sem_v, v_hbm).start()
+
+            get_dma(slot, b, i, kbuf, sem_k, k_hbm).wait()
+            get_dma(slot, b, i, vbuf, sem_v, v_hbm).wait()
+
+            kb = kbuf[slot]
+            vb = vbuf[slot]
+            s = jnp.dot(kb, q_bd, preferred_element_type=jnp.float32) * scale
+            rows = i * block + jax.lax.broadcasted_iota(
+                jnp.int32, (block, n_head), 0
+            )
+            s = jnp.where(rows <= pos, s, -jnp.inf)
+            m_blk = jnp.max(s, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            p_e = jnp.dot(p.astype(jnp.bfloat16), exp_mask,
+                          preferred_element_type=jnp.float32)
+            term = jnp.sum(p_e * vb.astype(jnp.float32), axis=0, keepdims=True)
+            alpha_e = jnp.dot(alpha.astype(jnp.bfloat16), exp_mask,
+                              preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * alpha_e + term, nxt
+
+        m0 = jnp.full((1, n_head), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((1, n_head), jnp.float32)
+        acc0 = jnp.zeros((1, hd), jnp.float32)
+        m, l, acc, slot_end = jax.lax.fori_loop(
+            0, nb, body_blk, (m0, l0, acc0, slot0)
+        )
+        l_e = jnp.dot(l, exp_mask_f, preferred_element_type=jnp.float32)
+        # dynamic single-row VMEM store is not tileable; select-write instead
+        val = (acc / l_e).astype(o_ref.dtype)  # (1, hd)
+        sel = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0) == b
+        o_ref[:] = jnp.where(sel, val, o_ref[:])
+        return slot_end
+
+    jax.lax.fori_loop(0, batch, body_b, jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_head", "block", "interpret"))
+def flash_decode_attention2(
+    q: jnp.ndarray,       # (B, H*D)
+    k_cache: jnp.ndarray,  # (B, S, H*D) — row pos must already be written
+    v_cache: jnp.ndarray,
+    pos: jnp.ndarray,      # scalar or (B,)
+    *,
+    n_head: int,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, s, hd = k_cache.shape
+    head_dim = hd // n_head
+    kernel = functools.partial(
+        _kernel, n_head=n_head, head_dim=head_dim, block=block, batch=b
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block, hd), jnp.bfloat16),
+            pltpu.VMEM((2, block, hd), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hd), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(pos.astype(jnp.int32).reshape(-1), (b,)),
+        q.astype(jnp.bfloat16),
+        k_cache,
+        v_cache,
+    )
+    return out

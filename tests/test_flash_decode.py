@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from controlar_tpu.ops.flash_decode import flash_decode_attention
+from controlar_tpu.ops.flash_decode2 import flash_decode_attention2
 
 
 def _naive(kc, vc, q, pos, H):
@@ -41,13 +42,39 @@ def test_flash_decode_matches_naive(pos):
     qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
     want = _naive(kcb, vcb, qb, pos, H)
 
-    out = flash_decode_attention(
-        jnp.asarray(q),
-        jnp.asarray(kc, jnp.bfloat16),
-        jnp.asarray(vc, jnp.bfloat16),
-        jnp.asarray(pos),
-        n_head=H,
-        block=128,
-        interpret=True,
+    for fn in (flash_decode_attention, flash_decode_attention2):
+        out = fn(
+            jnp.asarray(q),
+            jnp.asarray(kc, jnp.bfloat16),
+            jnp.asarray(vc, jnp.bfloat16),
+            jnp.asarray(pos),
+            n_head=H,
+            block=128,
+            interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
+
+
+def test_flash_decode2_per_slot_positions():
+    """The single-program kernel with distinct per-slot depths (the serving
+    engine's case)."""
+    B, S, H, D = 4, 256, 4, 64
+    HD = H * D
+    rng = np.random.default_rng(7)
+    kc = rng.standard_normal((B, S, HD)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((B, S, HD)).astype(np.float32) * 0.3
+    q = (rng.standard_normal((B, HD)) * 0.3).astype(np.float32)
+    pos = np.array([0, 120, 128, 255], np.int32)
+
+    kcb = np.asarray(jnp.asarray(kc, jnp.bfloat16), np.float32)
+    vcb = np.asarray(jnp.asarray(vc, jnp.bfloat16), np.float32)
+    qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+    want = np.stack([
+        _naive(kcb[b: b + 1], vcb[b: b + 1], qb[b: b + 1], int(pos[b]), H)[0]
+        for b in range(B)
+    ])
+    out = flash_decode_attention2(
+        jnp.asarray(q), jnp.asarray(kc, jnp.bfloat16), jnp.asarray(vc, jnp.bfloat16),
+        jnp.asarray(pos), n_head=H, block=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
