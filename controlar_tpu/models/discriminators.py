@@ -77,6 +77,127 @@ def init_patchgan_params(rng: jax.Array, input_nc: int = 3, ndf: int = 64,
     }
 
 
+# ---------------------------------------------------------------------------
+# StyleGAN-style discriminator (ref discriminator_stylegan.py:13-100)
+# ---------------------------------------------------------------------------
+
+_SG_CHANNELS = {4: 512, 8: 512, 16: 512, 32: 512, 64: 256, 128: 128,
+                256: 64, 512: 32, 1024: 16}
+
+
+def _blur(x: jnp.ndarray) -> jnp.ndarray:
+    """Normalized [1,2,1] (x) [1,2,1] depthwise blur with reflect border
+    (kornia filter2d defaults, ref Blur: discriminator_stylegan.py:84-93)."""
+    f = np.outer([1, 2, 1], [1, 2, 1]).astype(np.float32)
+    f /= f.sum()
+    c = x.shape[-1]
+    k = jnp.asarray(f)[:, :, None, None]
+    k = jnp.tile(k, (1, 1, 1, c))
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    return jax.lax.conv_general_dilated(
+        xp, k, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def stylegan_disc_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, H, W, 3) in [-1,1] -> logits (B, 1)."""
+    h = jax.nn.leaky_relu(conv2d(x, p["conv_in"]["w"], p["conv_in"]["b"]), 0.2)
+    inv_sqrt2 = 1.0 / np.sqrt(2.0)
+    for blk in p["blocks"]:
+        res = conv2d(h, blk["conv_res"]["w"], blk["conv_res"]["b"], stride=2,
+                     padding="VALID")
+        y = jax.nn.leaky_relu(conv2d(h, blk["conv1"]["w"], blk["conv1"]["b"]), 0.2)
+        y = jax.nn.leaky_relu(conv2d(y, blk["conv2"]["w"], blk["conv2"]["b"]), 0.2)
+        y = _blur(y)
+        y = conv2d(y, blk["down"]["w"], blk["down"]["b"], stride=2,
+                   padding=((1, 1), (1, 1)))
+        h = (y + res) * inv_sqrt2
+    h = jax.nn.leaky_relu(conv2d(h, p["final_conv"]["w"], p["final_conv"]["b"]), 0.2)
+    h = h.reshape(h.shape[0], -1)
+    h = jax.nn.leaky_relu(h @ p["fc1"]["w"] + p["fc1"]["b"], 0.2)
+    return h @ p["fc2"]["w"] + p["fc2"]["b"]
+
+
+def init_stylegan_disc_params(rng: jax.Array, input_nc: int = 3,
+                              image_size: int = 256) -> Params:
+    import math
+
+    keys = iter(jax.random.split(rng, 64))
+
+    def conv(cin, cout, k):
+        fan = k * k * cin
+        bound = 1.0 / np.sqrt(fan)
+        return {
+            "w": jax.random.uniform(next(keys), (k, k, cin, cout),
+                                    minval=-bound, maxval=bound),
+            "b": jnp.zeros((cout,)),
+        }
+
+    log_size = int(math.log2(image_size))
+    cin = _SG_CHANNELS[image_size]
+    p = {"conv_in": conv(input_nc, cin, 3), "blocks": []}
+    for i in range(log_size, 2, -1):
+        cout = _SG_CHANNELS[2 ** (i - 1)]
+        p["blocks"].append({
+            "conv_res": conv(cin, cout, 1),
+            "conv1": conv(cin, cout, 3),
+            "conv2": conv(cout, cout, 3),
+            "down": conv(cout, cout, 3),
+        })
+        cin = cout
+    p["final_conv"] = conv(cin, 512, 3)
+    fdim = 512 * 4 * 4
+    p["fc1"] = {
+        "w": jax.random.normal(next(keys), (fdim, 512)) * (1.0 / np.sqrt(fdim)),
+        "b": jnp.zeros((512,)),
+    }
+    p["fc2"] = {
+        "w": jax.random.normal(next(keys), (512, 1)) * (1.0 / np.sqrt(512)),
+        "b": jnp.zeros((1,)),
+    }
+    return p
+
+
+def convert_stylegan_disc_state_dict(sd) -> Params:
+    """torch Discriminator (discriminator_stylegan.py) -> pytree."""
+    def _np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    sd = {k: _np(v) for k, v in sd.items()}
+
+    def conv(prefix):
+        w = sd[f"{prefix}.weight"]
+        return {"w": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+                "b": sd[f"{prefix}.bias"]}
+
+    # blocks.1 is a parameter-free LeakyReLU; DiscriminatorBlocks start at 2
+    max_idx = max(int(k.split(".")[1]) for k in sd if k.startswith("blocks."))
+    blocks = []
+    for i in range(2, max_idx + 1):
+        blocks.append({
+            "conv_res": conv(f"blocks.{i}.conv_res"),
+            "conv1": conv(f"blocks.{i}.net.0"),
+            "conv2": conv(f"blocks.{i}.net.2"),
+            "down": conv(f"blocks.{i}.downsample.1"),
+        })
+    # final_linear.0 consumes a torch NCHW flatten (c, h, w); our forward
+    # flattens NHWC — permute the weight's input axis accordingly
+    fc1_w = sd["final_linear.0.weight"]  # (512, C*4*4)
+    c = fc1_w.shape[1] // 16
+    fc1_w = fc1_w.reshape(-1, c, 4, 4).transpose(2, 3, 1, 0).reshape(16 * c, -1)
+    return {
+        "conv_in": conv("blocks.0"),
+        "blocks": blocks,
+        "final_conv": conv("final_conv.0"),
+        "fc1": {"w": np.ascontiguousarray(fc1_w),
+                "b": sd["final_linear.0.bias"]},
+        "fc2": {"w": np.ascontiguousarray(sd["final_linear.2.weight"].T),
+                "b": sd["final_linear.2.bias"]},
+    }
+
+
 def convert_patchgan_state_dict(sd, n_layers: int = 3) -> Params:
     """torch NLayerDiscriminator.main Sequential -> pytree."""
     def _np(v):

@@ -236,6 +236,7 @@ def block_forward(
     kv_cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     pos: Optional[jnp.ndarray] = None,
     drop_rng: Optional[jax.Array] = None,
+    drop_path_p: float | jnp.ndarray = 0.0,
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One pre-norm block (ref TransformerBlock: gpt_t2i.py:294-307).
 
@@ -243,7 +244,9 @@ def block_forward(
     written at positions [pos, pos+T) and attention runs over the whole cache.
     If drop_rng is given, residual/ffn dropout is applied at the config rates
     (ref Attention.resid_dropout gpt_t2i.py:290, FeedForward.ffn_dropout
-    gpt_t2i.py:217). Returns (h_out, updated_cache_or_None).
+    gpt_t2i.py:217) and stochastic depth at drop_path_p (ref utils/
+    drop_path.py; per-layer rates are linearly spaced by the caller per
+    gpt_t2i.py:347). Returns (h_out, updated_cache_or_None).
     """
     x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
     q, k, v = _qkv(lp, cfg, x, rope_slice)
@@ -260,14 +263,26 @@ def block_forward(
     else:
         attn = _attend_full(cfg, q, k, v, mask)
         new_cache = None
+    def _drop_path(rng, branch):
+        # stochastic depth: zero the whole residual branch per sample with
+        # prob p, rescale survivors (ref utils/drop_path.py:6-15)
+        keep = jax.random.bernoulli(
+            rng, 1.0 - drop_path_p, (branch.shape[0],) + (1,) * (branch.ndim - 1)
+        )
+        return jnp.where(keep, branch / (1.0 - drop_path_p), 0.0)
+
     attn_out = attn @ lp["wo"]
     if drop_rng is not None and cfg.resid_dropout_p > 0:
         attn_out = _dropout(jax.random.fold_in(drop_rng, 1), cfg.resid_dropout_p, attn_out)
+    if drop_rng is not None and cfg.drop_path_rate > 0:
+        attn_out = _drop_path(jax.random.fold_in(drop_rng, 3), attn_out)
     h = h + attn_out
     x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
     ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
     if drop_rng is not None and cfg.ffn_dropout_p > 0:
         ffn = _dropout(jax.random.fold_in(drop_rng, 2), cfg.ffn_dropout_p, ffn)
+    if drop_rng is not None and cfg.drop_path_rate > 0:
+        ffn = _drop_path(jax.random.fold_in(drop_rng, 4), ffn)
     return h + ffn, new_cache
 
 
@@ -313,12 +328,17 @@ def _scan_layers(
             fused_j = jax.lax.dynamic_index_in_dim(fused3, j, axis=0, keepdims=False)
             h = jax.lax.cond(g > 0, lambda hh: fuse_fn(hh, fused_j), lambda hh: hh, h)
         rng_l = None if drop_rng is None else jax.random.fold_in(drop_rng, lid)
+        # stochastic depth: linearly spaced per-layer rate (ref gpt_t2i.py:347)
+        dp = cfg.drop_path_rate * lid / max(cfg.n_layer - 1, 1)
         if caches is not None:
             h, (kc, vc) = block_forward(
-                lp, cfg, h, rope_slice, mask, (kc, vc), pos, drop_rng=rng_l
+                lp, cfg, h, rope_slice, mask, (kc, vc), pos, drop_rng=rng_l,
+                drop_path_p=dp,
             )
             return h, (kc, vc)
-        h, _ = block_forward(lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l)
+        h, _ = block_forward(
+            lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l, drop_path_p=dp
+        )
         return h, None
 
     if remat:
