@@ -144,6 +144,126 @@ def cmd_train_t2i(args):
     Trainer(tcfg).fit(loader, max_steps=args.max_steps)
 
 
+def cmd_serve(args):
+    """Offline batch serving through the continuous-batching engine
+    (the reference's serve/sample_c2i.py equivalent)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from controlar_tpu.serve.engine import Request, ServeConfig, ServeEngine
+    from controlar_tpu.models import vq as vq_model
+
+    pipe = _build_pipeline(args, "c2i")
+    eng = ServeEngine(
+        pipe.gpt_params, pipe.gpt_cfg,
+        ServeConfig(max_slots=args.max_slots, quantum=args.quantum,
+                    temperature=args.temperature, top_k=args.top_k,
+                    top_p=args.top_p),
+    )
+    labels = [int(x) for x in args.class_labels.split(",")]
+    reqs = [Request(request_id=i, label=l, cfg_scale=args.cfg_scale, seed=args.seed + i)
+            for i, l in enumerate(labels)]
+    import time
+
+    t0 = time.perf_counter()
+    done = eng.run(reqs)
+    dt = time.perf_counter() - t0
+    print(f"{len(done)} requests in {dt:.2f}s = {len(done)/dt:.2f} img/s")
+    os.makedirs(args.output_dir, exist_ok=True)
+    gh, gw = pipe.gpt_cfg.grid
+    for r in done:
+        img = vq_model.decode_code(
+            pipe.vq_params, pipe.vq_cfg, jnp.asarray(r.tokens).reshape(1, gh, gw)
+        )
+        from controlar_tpu.pipeline import to_uint8_image
+
+        Image.fromarray(to_uint8_image(img)[0]).save(
+            os.path.join(args.output_dir, f"serve_{r.request_id}.png")
+        )
+
+
+def cmd_eval_vq(args):
+    """VQ round-trip reconstruction metrics over a folder of images."""
+    from PIL import Image
+    import jax, jax.numpy as jnp
+
+    from controlar_tpu.config import vq_config
+    from controlar_tpu.models import vq as vq_model
+    from controlar_tpu import checkpoint as ckpt_lib
+    from controlar_tpu.eval.reconstruction import reconstruction_eval
+    from controlar_tpu.data.augmentation import center_crop_arr
+
+    vcfg = vq_config("VQ-16")
+    if args.vq_ckpt:
+        params = jax.tree.map(jnp.asarray, ckpt_lib.load_vq_checkpoint(args.vq_ckpt, vcfg))
+    else:
+        params = vq_model.init_vq_params(jax.random.PRNGKey(0), vcfg)
+
+    files = sorted(
+        f for f in os.listdir(args.images) if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+
+    def batches():
+        batch = []
+        for f in files:
+            img = center_crop_arr(
+                Image.open(os.path.join(args.images, f)).convert("RGB"),
+                args.image_size,
+            )
+            batch.append(np.asarray(img, np.uint8))
+            if len(batch) == args.batch_size:
+                yield np.stack(batch)
+                batch = []
+        if batch:
+            yield np.stack(batch)
+
+    out = reconstruction_eval(params, vcfg, batches(), out_dir=args.output_dir)
+    print(json.dumps(out))
+
+
+def cmd_extract(args):
+    """Build a code tree from an image folder (+ optional captions jsonl)."""
+    import jax, jax.numpy as jnp
+    from PIL import Image
+
+    from controlar_tpu.config import vq_config
+    from controlar_tpu.models import vq as vq_model
+    from controlar_tpu import checkpoint as ckpt_lib
+    from controlar_tpu.data.extract import extract_tree
+
+    vcfg = vq_config("VQ-16")
+    if args.vq_ckpt:
+        vq_params = jax.tree.map(jnp.asarray, ckpt_lib.load_vq_checkpoint(args.vq_ckpt, vcfg))
+    else:
+        print("[warn] random VQ weights", file=sys.stderr)
+        vq_params = vq_model.init_vq_params(jax.random.PRNGKey(0), vcfg)
+
+    captions = {}
+    if args.captions:
+        for line in open(args.captions):
+            rec = json.loads(line)
+            captions[rec["image"]] = rec["caption"]
+
+    t5 = None
+    if args.t5_path:
+        from controlar_tpu.text.embedder import T5Embedder
+
+        t5 = T5Embedder.from_pretrained(args.t5_path)
+
+    def samples():
+        for f in sorted(os.listdir(args.images)):
+            if not f.lower().endswith((".png", ".jpg", ".jpeg")):
+                continue
+            yield {
+                "image": Image.open(os.path.join(args.images, f)),
+                "caption": captions.get(f, ""),
+            }
+
+    n = extract_tree(args.output_dir, samples(), vq_params, vcfg,
+                     t5_embedder=t5, image_size=args.image_size)
+    print(f"extracted {n} samples to {args.output_dir}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="controlar")
     sub = parser.add_subparsers(dest="command", required=True)
@@ -165,6 +285,30 @@ def main(argv=None):
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
     p.set_defaults(fn=cmd_train_t2i)
+
+    p = sub.add_parser("serve")
+    _add_model_args(p)
+    p.add_argument("--class-labels", default="207,360,387,974,88,979,417,279")
+    p.add_argument("--max-slots", type=int, default=8)
+    p.add_argument("--quantum", type=int, default=64)
+    p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("eval-vq")
+    p.add_argument("--vq-ckpt", default=None)
+    p.add_argument("--images", required=True)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--output-dir", default=None)
+    p.set_defaults(fn=cmd_eval_vq)
+
+    p = sub.add_parser("extract")
+    p.add_argument("--vq-ckpt", default=None)
+    p.add_argument("--t5-path", default=None)
+    p.add_argument("--images", required=True)
+    p.add_argument("--captions", default=None, help="jsonl with image/caption")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--output-dir", required=True)
+    p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("bench")
     p.set_defaults(fn=lambda a: __import__("bench").main())

@@ -194,7 +194,11 @@ def decode_step_flat(
     fuse_pos = pos - cfg.cls_token_num + 1
 
     s_max = caches[0][0].shape[1]
-    if not use_flash:
+    col_bias = None
+    if use_flash:
+        if col_mask_full is not None:
+            col_bias = jnp.where(col_mask_full, 0.0, -1e9).astype(jnp.float32)
+    else:
         cols = jnp.arange(s_max)
         allowed = cols[None, :] <= pos
         if col_mask_full is not None:
@@ -215,7 +219,7 @@ def decode_step_flat(
         vs[l] = jax.lax.dynamic_update_slice(vs[l], vr, (0, pos, 0))
         if use_flash:
             attn = flash_decode_attention(
-                q.reshape(b, hd), ks[l], vs[l], pos, n_head=cfg.n_head
+                q.reshape(b, hd), ks[l], vs[l], pos, col_bias, n_head=cfg.n_head
             ).astype(h.dtype)[:, None, :]
         else:
             kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)

@@ -167,12 +167,10 @@ def generate(
         rng = jax.random.PRNGKey(0)
     use_cfg = cfg_scale > 1.0
     if use_flash is None:
-        # auto: Pallas path on TPU; the kernel has no prefix column masking
-        # yet, so emb-mask batches take the XLA path
+        # auto: Pallas path on TPU (emb-mask prefixes ride the kernel's
+        # additive column bias)
         use_flash = (
-            jax.default_backend() == "tpu"
-            and emb_masks is None
-            and cfg.kv_heads == cfg.n_head
+            jax.default_backend() == "tpu" and cfg.kv_heads == cfg.n_head
         )
 
     if cfg.model_type == "c2i":

@@ -20,9 +20,10 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 256
 
 
-def _kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref,
+def _kernel(pos_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
             kbuf, vbuf, sem_k, sem_v,
-            *, n_head: int, head_dim: int, block: int, batch: int):
+            *, n_head: int, head_dim: int, block: int, batch: int,
+            has_bias: bool):
     hd = n_head * head_dim
     scale = 1.0 / np.sqrt(head_dim)
 
@@ -81,6 +82,15 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, o_ref,
                 jnp.int32, (block, n_head), 0
             )
             s = jnp.where(rows <= pos, s, -jnp.inf)
+            if has_bias:
+                # additive column bias (0 / -1e9), e.g. left-padded t2i
+                # caption prefixes (ref generate.py:184-193 emb-mask stamp)
+                bias_blk = bias_ref[:, pl.ds(i * block, block)]  # (B, block)
+                bsel = jax.lax.broadcasted_iota(
+                    jnp.int32, (batch, block), 0
+                ) == b
+                brow = jnp.sum(jnp.where(bsel, bias_blk, 0.0), axis=0)
+                s = s + brow.reshape(block, 1)
             m_blk = jnp.max(s, axis=0, keepdims=True)
             m_new = jnp.maximum(m, m_blk)
             alpha = jnp.exp(m - m_new)
@@ -115,6 +125,7 @@ def flash_decode_attention2(
     k_cache: jnp.ndarray,  # (B, S, H*D) — row pos must already be written
     v_cache: jnp.ndarray,
     pos: jnp.ndarray,      # scalar or (B,)
+    col_bias: jnp.ndarray | None = None,  # (B, S) f32 additive (0 / -1e9)
     *,
     n_head: int,
     block: int = DEFAULT_BLOCK,
@@ -122,9 +133,13 @@ def flash_decode_attention2(
 ) -> jnp.ndarray:
     b, s, hd = k_cache.shape
     head_dim = hd // n_head
+    has_bias = col_bias is not None
     kernel = functools.partial(
-        _kernel, n_head=n_head, head_dim=head_dim, block=block, batch=b
+        _kernel, n_head=n_head, head_dim=head_dim, block=block, batch=b,
+        has_bias=has_bias,
     )
+    if not has_bias:
+        col_bias = jnp.zeros((b, 8), jnp.float32)  # placeholder operand
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(1,),
@@ -132,6 +147,7 @@ def flash_decode_attention2(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
@@ -151,5 +167,6 @@ def flash_decode_attention2(
         q.astype(jnp.bfloat16),
         k_cache,
         v_cache,
+        col_bias.astype(jnp.float32),
     )
     return out
