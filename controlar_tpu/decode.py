@@ -44,7 +44,43 @@ def init_flat_caches(
     return ks, vs
 
 
+_UNSTACK_CACHE: Dict[int, Any] = {}
+
+
+def unstack_layers(params: Params) -> Params:
+    """Split the stacked (L, ...) layer weights into per-layer arrays.
+
+    Inside jit, slicing a stacked weight materializes a copy every decode
+    step (~1 ms/step at GPT-XL). Callers unstack ONCE outside jit and pass
+    the unstacked tree; training keeps the stacked layout for lax.scan.
+    Results are cached per stacked-tree identity (the host-side slicing
+    itself costs ~100 dispatches).
+    """
+    if isinstance(params["layers"], (list, tuple)):
+        return params
+    import weakref
+
+    anchor = jax.tree.leaves(params["layers"])[0]  # weakref-able jax.Array
+    key = id(anchor)
+    hit = _UNSTACK_CACHE.get(key)
+    if hit is not None and hit[0]() is anchor:
+        return hit[1]
+    n_layer = anchor.shape[0]
+    layers = tuple(
+        jax.tree.map(lambda a: a[l], params["layers"]) for l in range(n_layer)
+    )
+    out = {k: v for k, v in params.items() if k != "layers"}
+    out["layers"] = layers
+    try:
+        _UNSTACK_CACHE[key] = (weakref.ref(anchor), out)
+    except TypeError:
+        pass
+    return out
+
+
 def _layer_params(params: Params, l: int):
+    if isinstance(params["layers"], (list, tuple)):
+        return params["layers"][l]
     return jax.tree.map(lambda a: a[l], params["layers"])
 
 
@@ -114,6 +150,7 @@ def decode_step_multi(
     fused3: Optional[jnp.ndarray] = None,
     control_strength=1.0,
     use_flash: bool = True,
+    col_mask_full: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Caches]:
     """Decode step with PER-SLOT positions: pos (B,) int32 — the serving
     engine's continuous-batching primitive (each slot at its own depth;
@@ -127,9 +164,15 @@ def decode_step_multi(
     fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
 
     s_max = caches[0][0].shape[1]
-    if not use_flash:
+    col_bias = None
+    if use_flash:
+        if col_mask_full is not None:
+            col_bias = jnp.where(col_mask_full, 0.0, -1e9).astype(jnp.float32)
+    else:
         cols = jnp.arange(s_max)
         mask = (cols[None, :] <= pos[:, None])[:, None, None, :]
+        if col_mask_full is not None:
+            mask = mask & col_mask_full[:, None, None, :]
 
     def write_row(cache, row, p):
         if use_flash:
@@ -154,7 +197,7 @@ def decode_step_multi(
         vs[l] = write_row(vs[l], v.reshape(b, 1, hd).astype(vs[l].dtype), pos)
         if use_flash:
             attn = flash_decode_attention(
-                q.reshape(b, hd), ks[l], vs[l], pos, n_head=cfg.n_head
+                q.reshape(b, hd), ks[l], vs[l], pos, col_bias, n_head=cfg.n_head
             ).astype(h.dtype)[:, None, :]
         else:
             kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)

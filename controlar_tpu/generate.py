@@ -198,6 +198,9 @@ def generate(
             col_mask = None
         prefix = prefix[:, : cfg.cls_token_num]
 
+    # one-time weight unstacking for the decode loop (see decode.unstack_layers)
+    params = decode_engine.unstack_layers(params)
+
     fused3 = None
     if adapter_features is not None:
         cond_tok = gpt_model.mlp_gelu(params["adapter_mlp"], adapter_features)

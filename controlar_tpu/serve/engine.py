@@ -38,6 +38,7 @@ class Request:
     request_id: int
     label: Optional[int] = None                      # c2i
     caption_emb: Optional[np.ndarray] = None         # t2i (T_cls, caption_dim)
+    emb_mask: Optional[np.ndarray] = None            # t2i (T_cls,) left-pad mask
     adapter_features: Optional[np.ndarray] = None    # (block, adapter_dim)
     cfg_scale: float = 4.0
     control_strength: float = 1.0
@@ -60,7 +61,7 @@ class ServeConfig:
 
 class ServeEngine:
     def __init__(self, params, cfg: GPTConfig, serve_cfg: ServeConfig = ServeConfig()):
-        self.params = params
+        self.params = dec.unstack_layers(params)
         self.cfg = cfg
         self.scfg = serve_cfg
         if serve_cfg.use_flash is None:
@@ -73,6 +74,7 @@ class ServeEngine:
         self.fused = jnp.zeros((3, 2 * n, cfg.block_size, d), jnp.bfloat16)
         self.pos = jnp.zeros((2 * n,), jnp.int32)
         self.cur_tok = jnp.zeros((2 * n,), jnp.int32)
+        self.col_mask = jnp.ones((2 * n, self.s_max), bool)
         self.cfg_scales = jnp.ones((n,), jnp.float32)
         self.strengths = jnp.ones((n,), jnp.float32)
         self.active = np.zeros((n,), bool)
@@ -92,13 +94,13 @@ class ServeEngine:
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def _admit_jit(self, caches, fused, prefix_emb, fused3_req, rows):
+    def _admit_jit(self, caches, fused, prefix_emb, fused3_req, rows, col_mask_req):
         """Prefill one request (batch 2: cond/uncond) and scatter its slot."""
         small = dec.init_flat_caches(
             self.cfg, 2, self.s_max, self.scfg.cache_dtype
         )
         logits, small = dec.prefill_flat(
-            self.params, self.cfg, small, prefix_emb, fused3_req, None
+            self.params, self.cfg, small, prefix_emb, fused3_req, col_mask_req
         )
         ks = tuple(
             k.at[rows].set(sk) for k, sk in zip(caches[0], small[0])
@@ -132,9 +134,21 @@ class ServeEngine:
             fused3_req = jnp.zeros((3, 2, cfg.block_size, cfg.dim))
 
         rows = jnp.asarray([slot, slot + n])
+        if req.emb_mask is not None:
+            cm = jnp.asarray(req.emb_mask, bool)[None]
+            col_mask_req = jnp.concatenate([cm, cm], axis=0)  # (2, T_cls)
+        else:
+            col_mask_req = None
         logits, self.caches, self.fused = self._admit_jit(
-            self.caches, self.fused, prefix.astype(jnp.bfloat16), fused3_req, rows
+            self.caches, self.fused, prefix.astype(jnp.bfloat16), fused3_req, rows,
+            col_mask_req,
         )
+        full = jnp.ones((self.s_max,), bool)
+        if req.emb_mask is not None:
+            full = full.at[: self.cfg.cls_token_num].set(
+                jnp.asarray(req.emb_mask, bool)
+            )
+        self.col_mask = self.col_mask.at[rows].set(full)
         mixed = self._mix_host(logits, req.cfg_scale)
         tok = self._sample_host(mixed, req.seed, 0)
         t_cls = cfg.cls_token_num
@@ -164,7 +178,7 @@ class ServeEngine:
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(2,))
     def _quantum_jit(self, n_steps, caches, fused, pos, cur_tok, cfg_scales,
-                     strengths, active, rng):
+                     strengths, active, rng, col_mask):
         """Run n_steps lockstep decode steps with per-slot positions."""
         cfg = self.cfg
         n = self.scfg.max_slots
@@ -175,6 +189,7 @@ class ServeEngine:
                 self.params, cfg, caches, cur, pos, fused,
                 control_strength=jnp.concatenate([strengths, strengths])[:, None, None],
                 use_flash=self.scfg.use_flash,
+                col_mask_full=col_mask,
             )
             cond, uncond = jnp.split(logits, 2, axis=0)
             mixed = uncond + (cond - uncond) * cfg_scales[:, None]
@@ -217,7 +232,7 @@ class ServeEngine:
         self.caches, self.pos, self.cur_tok, toks = self._quantum_jit(
             q, self.caches, self.fused, self.pos, self.cur_tok,
             self.cfg_scales, self.strengths, active2,
-            jax.random.PRNGKey(self._rng_salt),
+            jax.random.PRNGKey(self._rng_salt), self.col_mask,
         )
         toks = jax.device_get(toks)  # (q, slots)
         for s in range(n):

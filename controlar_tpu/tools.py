@@ -1,0 +1,70 @@
+"""Checkpoint/zoo utilities (ref tools/: convert_pytorch_lightning_to_torch.py,
+push_gpt_to_hf.py, check_image_codes.py).
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def convert_lightning_checkpoint(src: str, dst: str) -> None:
+    """PyTorch-Lightning ckpt -> plain {'model': state_dict} .pt
+    (ref tools/convert_pytorch_lightning_to_torch.py)."""
+    import torch
+
+    ckpt = torch.load(src, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    torch.save({"model": sd}, dst)
+
+
+def export_params_npz(params, path: str) -> None:
+    """Save a JAX param pytree as a flat .npz (portable, torch-free)."""
+    import jax
+
+    flat = {}
+
+    def visit(prefix, tree):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                visit(f"{prefix}/{k}" if prefix else k, v)
+        elif isinstance(tree, (list, tuple)):
+            for i, v in enumerate(tree):
+                visit(f"{prefix}/{i}", v)
+        else:
+            flat[prefix] = np.asarray(tree)
+
+    visit("", jax.device_get(params))
+    np.savez(path, **flat)
+
+
+def import_params_npz(path: str) -> Dict:
+    """Inverse of export_params_npz (lists come back as dicts of indices)."""
+    flat = np.load(path)
+    root: Dict = {}
+    for key in flat.files:
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[key]
+    return root
+
+
+def check_code_tree(tree_dir: str, expected_len: Optional[int] = None) -> Dict:
+    """Sanity-check an extracted code tree (ref tools/check_image_codes.py):
+    counts, contiguity of indices, token-range stats."""
+    code_dir = os.path.join(tree_dir, "code")
+    files = os.listdir(code_dir)
+    n = len(files)
+    missing = [i for i in range(n) if f"{i}.npy" not in set(files)]
+    mn, mx = 1 << 30, -1
+    for i in range(0, n, max(n // 64, 1)):
+        if f"{i}.npy" in set(files):
+            arr = np.load(os.path.join(code_dir, f"{i}.npy"))
+            mn, mx = min(mn, int(arr.min())), max(mx, int(arr.max()))
+    report = {"count": n, "missing": missing, "token_min": mn, "token_max": mx}
+    if expected_len is not None:
+        report["complete"] = n == expected_len and not missing
+    return report

@@ -29,6 +29,10 @@ def main():
         cfg = gpt_config(size, model_type="c2i", cls_token_num=1, block_size=576,
                          vocab_size=16384, num_classes=1000)
         params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        # pre-unstack and drop the stacked copy (halves weight HBM for 3B)
+        from controlar_tpu import decode as dec
+
+        params = dec.unstack_layers(params)
         labels = jnp.arange(8) * 100
 
         def run(seed):
