@@ -60,6 +60,9 @@ def unstack_layers(params: Params) -> Params:
         return params
     import weakref
 
+    # purge entries whose stacked source died (else unstacked copies leak)
+    for k in [k for k, (r, _) in _UNSTACK_CACHE.items() if r() is None]:
+        del _UNSTACK_CACHE[k]
     anchor = jax.tree.leaves(params["layers"])[0]  # weakref-able jax.Array
     key = id(anchor)
     hit = _UNSTACK_CACHE.get(key)

@@ -420,105 +420,3 @@ def forward_train(
         else:
             loss = nll.mean()
     return logits, loss
-
-
-# ---------------------------------------------------------------------------
-# Inference: prefill + single-token decode
-# ---------------------------------------------------------------------------
-
-def init_kv_cache(
-    cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Stacked (L, B, S, KV, D) zero caches (ref KVCache: gpt_t2i.py:220-235)."""
-    shape = (cfg.n_layer, batch, max_seq, cfg.kv_heads, cfg.head_dim)
-    return jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
-
-
-def prefill(
-    params: Params,
-    cfg: GPTConfig,
-    caches: Tuple[jnp.ndarray, jnp.ndarray],
-    prefix_emb: jnp.ndarray,
-    fused3: Optional[jnp.ndarray],
-    col_mask: Optional[jnp.ndarray],
-    control_strength: float | jnp.ndarray = 1.0,
-):
-    """Prefill the prefix (ref gpt_t2i.py:433-443 + generate.py:85-94).
-
-    prefix_emb: (B, T_cls, dim). fused3: (3, B, block_size, dim) control
-    projections. col_mask: (B, T_cls) boolean prefix validity (emb_masks).
-    Returns (last-position logits (B, V), updated caches).
-    """
-    b, t, _ = prefix_emb.shape
-    s_max = caches[0].shape[2]
-    rope = make_rope_table(cfg)[:t]
-
-    # Mask spans the full cache width: columns >= t are excluded by causality.
-    rows = np.arange(t)[:, None]
-    cols = np.arange(s_max)[None, :]
-    causal = jnp.asarray(rows >= cols)  # (T, S)
-    if col_mask is not None:
-        # emb-mask stamp + diagonal restore (ref generate.py:184-193)
-        cm = jnp.concatenate(
-            [col_mask, jnp.ones((b, s_max - t), dtype=bool)], axis=1
-        )
-        m = causal[None] & (cm[:, None, :] | jnp.asarray(rows == cols)[None])
-    else:
-        m = jnp.broadcast_to(causal[None], (b, t, s_max))
-    mask = m[:, None]  # (B, 1, T, S)
-
-    def fuse_prefill(hh, fused_j):
-        # fuse control token 0 into the last prefix position
-        last = hh[:, -1:] + (control_strength * fused_j[:, 0:1]).astype(hh.dtype)
-        return jnp.concatenate([hh[:, :-1], last], axis=1)
-
-    h, caches = _scan_layers(
-        params, cfg, prefix_emb, rope, mask, fused3, fuse_prefill,
-        caches=caches, pos=jnp.asarray(0, jnp.int32),
-    )
-    logits = _logits(params, cfg, h[:, -1])
-    return logits, caches
-
-
-def decode_step(
-    params: Params,
-    cfg: GPTConfig,
-    caches: Tuple[jnp.ndarray, jnp.ndarray],
-    token: jnp.ndarray,
-    pos: jnp.ndarray,
-    fused3: Optional[jnp.ndarray],
-    col_mask_full: Optional[jnp.ndarray],
-    control_strength: float | jnp.ndarray = 1.0,
-):
-    """One decode step at position `pos` (ref gpt_t2i.py:444-467 decode branch).
-
-    token: (B,) previous token ids. col_mask_full: (B, S) column mask covering
-    the whole cache (prefix emb_masks extended with ones). Returns
-    (logits (B, V), updated caches).
-    """
-    b = token.shape[0]
-    s_max = caches[0].shape[2]
-    h = params["tok_embeddings"][token][:, None, :]
-
-    rope_tab = make_rope_table(cfg)
-    rope = jax.lax.dynamic_slice_in_dim(rope_tab, pos, 1, axis=0)
-
-    cols = jnp.arange(s_max)
-    allowed = cols[None, :] <= pos
-    if col_mask_full is not None:
-        allowed = allowed & col_mask_full
-    mask = allowed[:, None, None, :]  # (B, 1, 1, S)
-    if mask.shape[0] != b:
-        mask = jnp.broadcast_to(mask, (b,) + mask.shape[1:])
-
-    fuse_pos = pos - cfg.cls_token_num + 1
-
-    def fuse_decode(hh, fused_j):
-        row = jax.lax.dynamic_slice_in_dim(fused_j, fuse_pos, 1, axis=1)
-        return hh + (control_strength * row).astype(hh.dtype)
-
-    h, caches = _scan_layers(
-        params, cfg, h, rope, mask, fused3, fuse_decode, caches=caches, pos=pos
-    )
-    logits = _logits(params, cfg, h[:, -1])
-    return logits, caches
