@@ -32,16 +32,16 @@ from controlar_tpu.ops.cache_append import cache_append_rows
 from controlar_tpu.ops.flash_decode2 import flash_decode_attention2 as flash_decode_attention
 from controlar_tpu.ops.norms import rms_norm
 
-Caches = Tuple[Tuple[jnp.ndarray, ...], Tuple[jnp.ndarray, ...]]
+# per-layer interleaved [k|v] slabs: rows are (2*H*D,) so one DMA chain
+# fetches both in the flash kernel
+Caches = Tuple[jnp.ndarray, ...]
 
 
 def init_flat_caches(
     cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> Caches:
-    shape = (batch, max_seq, cfg.kv_heads * cfg.head_dim)
-    ks = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
-    vs = tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
-    return ks, vs
+    shape = (batch, max_seq, 2 * cfg.kv_heads * cfg.head_dim)
+    return tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
 
 
 _UNSTACK_CACHE: Dict[int, Any] = {}
@@ -114,7 +114,7 @@ def prefill_flat(
         m = causal[None]
     mask = m[:, None]  # (B|1, 1, T, T)
 
-    ks, vs = list(caches[0]), list(caches[1])
+    kvs = list(caches)
     h = prefix_emb
     hd = cfg.n_head * cfg.head_dim
     for l in range(cfg.n_layer):
@@ -124,12 +124,10 @@ def prefill_flat(
             h = jnp.concatenate([h[:, :-1], h[:, -1:] + add], axis=1)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
         q, k, v = _qkv(lp, cfg, x, rope)
-        ks[l] = jax.lax.dynamic_update_slice(
-            ks[l], k.reshape(b, t, hd).astype(ks[l].dtype), (0, 0, 0)
-        )
-        vs[l] = jax.lax.dynamic_update_slice(
-            vs[l], v.reshape(b, t, hd).astype(vs[l].dtype), (0, 0, 0)
-        )
+        kv_rows = jnp.concatenate(
+            [k.reshape(b, t, hd), v.reshape(b, t, hd)], axis=-1
+        ).astype(kvs[l].dtype)
+        kvs[l] = jax.lax.dynamic_update_slice(kvs[l], kv_rows, (0, 0, 0))
         scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
         scores = scores * (1.0 / np.sqrt(cfg.head_dim))
         scores = jnp.where(mask, scores, -jnp.inf)
@@ -141,7 +139,7 @@ def prefill_flat(
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
     logits = _logits(params, cfg, h[:, -1])
-    return logits, (tuple(ks), tuple(vs))
+    return logits, tuple(kvs)
 
 
 def decode_step_multi(
@@ -166,7 +164,7 @@ def decode_step_multi(
     rope = make_rope_table(cfg)[pos][:, None]  # (B, 1, D/2, 2)
     fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
 
-    s_max = caches[0][0].shape[1]
+    s_max = caches[0].shape[1]
     col_bias = None
     if use_flash:
         if col_mask_full is not None:
@@ -186,7 +184,7 @@ def decode_step_multi(
             lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
         )(cache, row, p)
 
-    ks, vs = list(caches[0]), list(caches[1])
+    kvs = list(caches)
     for l in range(cfg.n_layer):
         lp = _layer_params(params, l)
         if fused3 is not None and gate[l] > 0:
@@ -196,15 +194,17 @@ def decode_step_multi(
             h = h + (control_strength * row).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
         q, k, v = _qkv(lp, cfg, x, rope)
-        ks[l] = write_row(ks[l], k.reshape(b, 1, hd).astype(ks[l].dtype), pos)
-        vs[l] = write_row(vs[l], v.reshape(b, 1, hd).astype(vs[l].dtype), pos)
+        kv_row = jnp.concatenate(
+            [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
+        ).astype(kvs[l].dtype)
+        kvs[l] = write_row(kvs[l], kv_row, pos)
         if use_flash:
             attn = flash_decode_attention(
-                q.reshape(b, hd), ks[l], vs[l], pos, col_bias, n_head=cfg.n_head
+                q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
             ).astype(h.dtype)[:, None, :]
         else:
-            kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
-            vl = vs[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            kl = kvs[l][:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = kvs[l][:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
             ) * (1.0 / np.sqrt(cfg.head_dim))
@@ -217,7 +217,7 @@ def decode_step_multi(
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
     logits = _logits(params, cfg, h[:, -1])
-    return logits, (tuple(ks), tuple(vs))
+    return logits, tuple(kvs)
 
 
 def decode_step_flat(
@@ -239,7 +239,7 @@ def decode_step_flat(
     rope = jax.lax.dynamic_slice_in_dim(make_rope_table(cfg), pos, 1, axis=0)
     fuse_pos = pos - cfg.cls_token_num + 1
 
-    s_max = caches[0][0].shape[1]
+    s_max = caches[0].shape[1]
     col_bias = None
     if use_flash:
         if col_mask_full is not None:
@@ -251,7 +251,7 @@ def decode_step_flat(
             allowed = allowed & col_mask_full
         mask = allowed[:, None, None, :]
 
-    ks, vs = list(caches[0]), list(caches[1])
+    kvs = list(caches)
     for l in range(cfg.n_layer):
         lp = _layer_params(params, l)
         if fused3 is not None and gate[l] > 0:
@@ -259,17 +259,17 @@ def decode_step_flat(
             h = h + (control_strength * row).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
         q, k, v = _qkv(lp, cfg, x, rope)  # (B, 1, H, D)
-        kr = k.reshape(b, 1, hd).astype(ks[l].dtype)
-        vr = v.reshape(b, 1, hd).astype(vs[l].dtype)
-        ks[l] = jax.lax.dynamic_update_slice(ks[l], kr, (0, pos, 0))
-        vs[l] = jax.lax.dynamic_update_slice(vs[l], vr, (0, pos, 0))
+        kv_row = jnp.concatenate(
+            [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
+        ).astype(kvs[l].dtype)
+        kvs[l] = jax.lax.dynamic_update_slice(kvs[l], kv_row, (0, pos, 0))
         if use_flash:
             attn = flash_decode_attention(
-                q.reshape(b, hd), ks[l], vs[l], pos, col_bias, n_head=cfg.n_head
+                q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
             ).astype(h.dtype)[:, None, :]
         else:
-            kl = ks[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
-            vl = vs[l].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            kl = kvs[l][:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = kvs[l][:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
             ) * (1.0 / np.sqrt(cfg.head_dim))
@@ -282,4 +282,4 @@ def decode_step_flat(
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
     logits = _logits(params, cfg, h[:, -1])
-    return logits, (tuple(ks), tuple(vs))
+    return logits, tuple(kvs)

@@ -20,8 +20,8 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK = 256
 
 
-def _kernel(pos_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
-            kbuf, vbuf, sem_k, sem_v,
+def _kernel(pos_ref, q_ref, kv_hbm, bias_ref, o_ref,
+            kvbuf, sem,
             *, n_head: int, head_dim: int, block: int, batch: int,
             has_bias: bool):
     hd = n_head * head_dim
@@ -38,14 +38,13 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
     def nblocks_of(b):
         return pl.cdiv(pos_ref[b] + 1, block)
 
-    def get_dma(slot, b, i, buf, sem, hbm):
+    def get_dma(slot, b, i):
         return pltpu.make_async_copy(
-            hbm.at[b, pl.ds(i * block, block), :], buf.at[slot], sem.at[slot]
+            kv_hbm.at[b, pl.ds(i * block, block), :], kvbuf.at[slot], sem.at[slot]
         )
 
     # warm-up: first block of batch element 0
-    get_dma(0, 0, 0, kbuf, sem_k, k_hbm).start()
-    get_dma(0, 0, 0, vbuf, sem_v, v_hbm).start()
+    get_dma(0, 0, 0).start()
 
     def body_b(b, slot0):
         pos = pos_ref[b]
@@ -64,19 +63,16 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
             # prefetch: next block of this b, or first block of b+1
             @pl.when(i + 1 < nb)
             def _():
-                get_dma(nxt, b, i + 1, kbuf, sem_k, k_hbm).start()
-                get_dma(nxt, b, i + 1, vbuf, sem_v, v_hbm).start()
+                get_dma(nxt, b, i + 1).start()
 
             @pl.when((i + 1 == nb) & (b + 1 < batch))
             def _():
-                get_dma(nxt, b + 1, 0, kbuf, sem_k, k_hbm).start()
-                get_dma(nxt, b + 1, 0, vbuf, sem_v, v_hbm).start()
+                get_dma(nxt, b + 1, 0).start()
 
-            get_dma(slot, b, i, kbuf, sem_k, k_hbm).wait()
-            get_dma(slot, b, i, vbuf, sem_v, v_hbm).wait()
+            get_dma(slot, b, i).wait()
 
-            kb = kbuf[slot]
-            vb = vbuf[slot]
+            kb = kvbuf[slot][:, :hd]
+            vb = kvbuf[slot][:, hd:]
             s = jnp.dot(kb, q_bd, preferred_element_type=jnp.float32) * scale
             rows = i * block + jax.lax.broadcasted_iota(
                 jnp.int32, (block, n_head), 0
@@ -121,9 +117,9 @@ def _kernel(pos_ref, q_ref, k_hbm, v_hbm, bias_ref, o_ref,
 
 @functools.partial(jax.jit, static_argnames=("n_head", "block", "interpret"))
 def flash_decode_attention2(
-    q: jnp.ndarray,       # (B, H*D)
-    k_cache: jnp.ndarray,  # (B, S, H*D) — row pos must already be written
-    v_cache: jnp.ndarray,
+    q: jnp.ndarray,        # (B, H*D)
+    kv_cache: jnp.ndarray,  # (B, S, 2*H*D) interleaved [k|v] rows; row pos
+                            # must already be written
     pos: jnp.ndarray,      # scalar or (B,)
     col_bias: jnp.ndarray | None = None,  # (B, S) f32 additive (0 / -1e9)
     *,
@@ -131,7 +127,8 @@ def flash_decode_attention2(
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    b, s, hd = k_cache.shape
+    b, s, hd2 = kv_cache.shape
+    hd = hd2 // 2
     head_dim = hd // n_head
     has_bias = col_bias is not None
     kernel = functools.partial(
@@ -146,14 +143,11 @@ def flash_decode_attention2(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block, hd), jnp.bfloat16),
-            pltpu.VMEM((2, block, hd), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, block, 2 * hd), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -165,8 +159,7 @@ def flash_decode_attention2(
     )(
         jnp.broadcast_to(pos.astype(jnp.int32).reshape(-1), (b,)),
         q.astype(jnp.bfloat16),
-        k_cache,
-        v_cache,
+        kv_cache,
         col_bias.astype(jnp.float32),
     )
     return out

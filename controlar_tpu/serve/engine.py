@@ -102,14 +102,11 @@ class ServeEngine:
         logits, small = dec.prefill_flat(
             self.params, self.cfg, small, prefix_emb, fused3_req, col_mask_req
         )
-        ks = tuple(
-            k.at[rows].set(sk) for k, sk in zip(caches[0], small[0])
-        )
-        vs = tuple(
-            v.at[rows].set(sv) for v, sv in zip(caches[1], small[1])
+        kvs = tuple(
+            kv.at[rows].set(skv) for kv, skv in zip(caches, small)
         )
         fused = fused.at[:, rows].set(fused3_req.astype(fused.dtype))
-        return logits, (ks, vs), fused
+        return logits, kvs, fused
 
     def _admit(self, req: Request, slot: int):
         cfg = self.cfg

@@ -5,7 +5,6 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from controlar_tpu.ops.flash_decode import flash_decode_attention
 from controlar_tpu.ops.flash_decode2 import flash_decode_attention2
 
 
@@ -26,6 +25,10 @@ def _naive(kc, vc, q, pos, H):
     return out.reshape(B, HD)
 
 
+def _interleave(kc, vc):
+    return np.concatenate([kc, vc], axis=-1)
+
+
 @pytest.mark.parametrize("pos", [0, 1, 63, 200, 511])
 def test_flash_decode_matches_naive(pos):
     B, S, H, D = 2, 512, 4, 64
@@ -42,22 +45,19 @@ def test_flash_decode_matches_naive(pos):
     qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
     want = _naive(kcb, vcb, qb, pos, H)
 
-    for fn in (flash_decode_attention, flash_decode_attention2):
-        out = fn(
-            jnp.asarray(q),
-            jnp.asarray(kc, jnp.bfloat16),
-            jnp.asarray(vc, jnp.bfloat16),
-            jnp.asarray(pos),
-            n_head=H,
-            block=128,
-            interpret=True,
-        )
-        np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
+    out = flash_decode_attention2(
+        jnp.asarray(q),
+        jnp.asarray(_interleave(kc, vc), jnp.bfloat16),
+        jnp.asarray(pos),
+        n_head=H,
+        block=128,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
 
 
-def test_flash_decode2_per_slot_positions():
-    """The single-program kernel with distinct per-slot depths (the serving
-    engine's case)."""
+def test_flash_decode_per_slot_positions():
+    """Distinct per-slot depths (the serving engine's case)."""
     B, S, H, D = 4, 256, 4, 64
     HD = H * D
     rng = np.random.default_rng(7)
@@ -74,7 +74,43 @@ def test_flash_decode2_per_slot_positions():
         for b in range(B)
     ])
     out = flash_decode_attention2(
-        jnp.asarray(q), jnp.asarray(kc, jnp.bfloat16), jnp.asarray(vc, jnp.bfloat16),
+        jnp.asarray(q), jnp.asarray(_interleave(kc, vc), jnp.bfloat16),
         jnp.asarray(pos), n_head=H, block=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
+
+
+def test_flash_decode_column_bias():
+    """Prefix column masking via additive bias (left-padded t2i captions)."""
+    B, S, H, D = 2, 256, 4, 64
+    HD = H * D
+    rng = np.random.default_rng(9)
+    kc = rng.standard_normal((B, S, HD)).astype(np.float32) * 0.3
+    vc = rng.standard_normal((B, S, HD)).astype(np.float32) * 0.3
+    q = (rng.standard_normal((B, HD)) * 0.3).astype(np.float32)
+    pos = 200
+    masked = np.zeros((B, S), bool)
+    masked[0, :40] = True  # left-pad of sequence 0 excluded
+    bias = np.where(masked, -1e9, 0.0).astype(np.float32)
+
+    kcb = np.asarray(jnp.asarray(kc, jnp.bfloat16), np.float32)
+    vcb = np.asarray(jnp.asarray(vc, jnp.bfloat16), np.float32)
+    qb = np.asarray(jnp.asarray(q, jnp.bfloat16), np.float32)
+    want = np.zeros((B, HD), np.float32)
+    for b in range(B):
+        k4 = kcb[b].reshape(S, H, D)
+        v4 = vcb[b].reshape(S, H, D)
+        q4 = qb[b].reshape(H, D)
+        for h in range(H):
+            s = (k4[:, h] @ q4[h]) / np.sqrt(D)
+            s[pos + 1:] = -np.inf
+            s = s + bias[b]
+            p = np.exp(s - s.max())
+            p /= p.sum()
+            want[b, h * D:(h + 1) * D] = p @ v4[:, h]
+
+    out = flash_decode_attention2(
+        jnp.asarray(q), jnp.asarray(_interleave(kc, vc), jnp.bfloat16),
+        jnp.asarray(pos), jnp.asarray(bias), n_head=H, block=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out, np.float32), want, atol=2e-2)
