@@ -12,7 +12,7 @@ import ctypes
 import os
 import struct
 import subprocess
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 

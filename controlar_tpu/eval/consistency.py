@@ -7,7 +7,7 @@ offline scripts evaluations/{canny_f1score,hed_ssim,lineart_ssim,depth_rmse}.py
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 import numpy as np
 import jax.numpy as jnp

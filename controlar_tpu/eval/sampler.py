@@ -14,7 +14,6 @@ from typing import Optional
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from controlar_tpu.pipeline import ControlARPipeline
 

@@ -18,7 +18,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from controlar_tpu.config import GPTConfig, find_multiple
 from controlar_tpu import decode as decode_engine

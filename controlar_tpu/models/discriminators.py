@@ -7,7 +7,7 @@ stats; running-average eval stats are not needed for training parity).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

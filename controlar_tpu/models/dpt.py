@@ -20,7 +20,6 @@ from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from controlar_tpu.ops.conv import conv2d, conv_transpose2d
 from controlar_tpu.ops.resize import resize2d

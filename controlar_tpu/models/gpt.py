@@ -22,8 +22,6 @@ Weight layout: all linears are stored (in_features, out_features) so forward is
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
 from typing import Optional, Tuple, Dict, Any
 
 import jax

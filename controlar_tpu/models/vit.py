@@ -16,7 +16,6 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from controlar_tpu.ops.resize import resize2d
 

@@ -11,7 +11,7 @@ controlar_tpu/train/vq_loss.py.
 """
 from __future__ import annotations
 
-from typing import Dict, Any, Tuple, Optional
+from typing import Dict, Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ double-buffered across both blocks and batch elements.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ sample_c2i.py:27-123, sample_t2i.py:34-183) with one reusable object.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +15,6 @@ import numpy as np
 
 from controlar_tpu.config import GPTConfig, VQConfig
 from controlar_tpu import generate as jgen
-from controlar_tpu.models import gpt as gpt_model
 from controlar_tpu.models import vq as vq_model
 from controlar_tpu.models import vit as vit_model
 from controlar_tpu.models import control_nets

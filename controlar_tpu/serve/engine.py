@@ -19,7 +19,6 @@ program before the host syncs, collects finished sequences, and refills.
 from __future__ import annotations
 
 import dataclasses
-import queue
 from functools import partial
 from typing import Any, Dict, List, Optional
 

@@ -13,7 +13,6 @@ collectives.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -22,7 +21,7 @@ import optax
 
 from controlar_tpu.config import GPTConfig
 from controlar_tpu.models import gpt as gpt_model
-from controlar_tpu.train.optimizer import make_optimizer, update_ema, zero_frozen_grads
+from controlar_tpu.train.optimizer import update_ema, zero_frozen_grads
 
 
 @jax.tree_util.register_dataclass

@@ -7,7 +7,6 @@ model, optimizer, loader, autocast loss, clip, ckpt; SURVEY.md §2.6).
 from __future__ import annotations
 
 import dataclasses
-import json
 import os
 import time
 from typing import Any, Dict, Optional

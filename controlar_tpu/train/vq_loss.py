@@ -6,7 +6,7 @@ Discriminator: hinge / vanilla / non-saturating on real-vs-reconstruction.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

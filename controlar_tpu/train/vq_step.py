@@ -6,7 +6,7 @@ loss per vq_loss.py, EMA option; GradScaler is unnecessary under bf16.)
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
