@@ -144,6 +144,103 @@ def cmd_train_t2i(args):
     Trainer(tcfg).fit(loader, max_steps=args.max_steps)
 
 
+def cmd_sample_t2i(args):
+    """Text-conditional sampling (ref sample_t2i.py:34-183): prompt -> T5
+    features -> control extraction -> CFG generate -> VQ decode."""
+    from PIL import Image
+    import numpy as np
+
+    from controlar_tpu.text.embedder import T5Embedder
+
+    pipe = _build_pipeline(args, "t2i")
+    if not args.t5_path:
+        raise SystemExit("--t5-path (local flan-t5-xl checkout) is required")
+    t5 = T5Embedder.from_pretrained(args.t5_path)
+    prompts = [args.prompt or "a high-quality image"] * args.num_images
+    caption_emb, emb_masks = t5.get_text_embeddings(prompts)
+
+    cond = None
+    if args.condition_image:
+        img = Image.open(args.condition_image).convert("RGB").resize(
+            (args.image_size, args.image_size)
+        )
+        cond = np.repeat(np.asarray(img, np.uint8)[None], args.num_images, 0)
+
+    out = pipe.generate(
+        caption_emb=caption_emb, emb_masks=emb_masks, condition_images=cond,
+        cfg_scale=args.cfg_scale, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p,
+        control_strength=args.control_strength, seed=args.seed,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    for i, img in enumerate(out):
+        Image.fromarray(img).save(os.path.join(args.output_dir, f"t2i_{i}.png"))
+    print(f"saved {len(out)} images to {args.output_dir}")
+
+
+def cmd_train_vq(args):
+    """VQGAN tokenizer training over an image folder (ref vq_train.py)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from controlar_tpu.config import vq_config
+    from controlar_tpu.models import vq as vq_model
+    from controlar_tpu.models.discriminators import init_patchgan_params
+    from controlar_tpu.models.lpips import init_lpips_params
+    from controlar_tpu.train.optimizer import make_optimizer
+    from controlar_tpu.train.vq_step import init_vq_train_state, make_vq_train_step
+    from controlar_tpu.data.augmentation import center_crop_arr
+    from controlar_tpu import checkpoint as ckpt_lib
+
+    vcfg = vq_config(args.vq_model)
+    rng = jax.random.PRNGKey(args.seed)
+    vq_params = vq_model.init_vq_params(rng, vcfg)
+    disc_params = init_patchgan_params(jax.random.fold_in(rng, 1))
+    if args.lpips_vgg and args.lpips_lin:
+        from controlar_tpu.convert.torch_lpips import convert_lpips_state_dicts
+
+        lp = jax.tree.map(jnp.asarray, convert_lpips_state_dicts(
+            ckpt_lib.load_torch_file(args.lpips_vgg),
+            ckpt_lib.load_torch_file(args.lpips_lin),
+        ))
+    else:
+        print("[warn] random LPIPS weights (pass --lpips-vgg/--lpips-lin)",
+              file=sys.stderr)
+        lp = init_lpips_params(rng)
+    tx_g = make_optimizer(lr=args.lr, beta1=0.9, beta2=0.95)
+    tx_d = make_optimizer(lr=args.lr, beta1=0.9, beta2=0.95)
+    state = init_vq_train_state(vq_params, disc_params, tx_g, tx_d,
+                                use_ema=args.ema)
+    step = jax.jit(make_vq_train_step(
+        vcfg, tx_g, tx_d, lp, disc_start=args.disc_start,
+        ema_decay=0.9999 if args.ema else None,
+    ))
+
+    files = [f for f in sorted(os.listdir(args.images))
+             if f.lower().endswith((".png", ".jpg", ".jpeg"))]
+    rng_np = np.random.default_rng(args.seed)
+    for it in range(args.max_steps):
+        idx = rng_np.integers(0, len(files), args.batch_size)
+        batch = np.stack([
+            np.asarray(center_crop_arr(
+                Image.open(os.path.join(args.images, files[i])).convert("RGB"),
+                args.image_size,
+            ), np.float32) / 127.5 - 1.0
+            for i in idx
+        ])
+        state, m = step(state, jnp.asarray(batch))
+        if it % args.log_every == 0:
+            print(f"step={it} " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in m.items()))
+        if (it + 1) % args.ckpt_every == 0:
+            path = ckpt_lib.save_train_state(
+                os.path.join(args.results_dir, "vq_checkpoints"), state, step=it + 1
+            )
+            print(f"saved {path}")
+
+
 def cmd_serve(args):
     """Offline batch serving through the continuous-batching engine
     (the reference's serve/sample_c2i.py equivalent)."""
@@ -285,6 +382,31 @@ def main(argv=None):
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
     p.set_defaults(fn=cmd_train_t2i)
+
+    p = sub.add_parser("sample-t2i")
+    _add_model_args(p)
+    p.add_argument("--prompt", default=None)
+    p.add_argument("--t5-path", default=None)
+    p.add_argument("--condition-image", default=None)
+    p.add_argument("--num-images", type=int, default=4)
+    p.set_defaults(fn=cmd_sample_t2i)
+
+    p = sub.add_parser("train-vq")
+    p.add_argument("--vq-model", default="VQ-16")
+    p.add_argument("--images", required=True)
+    p.add_argument("--image-size", type=int, default=256)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--max-steps", type=int, default=100000)
+    p.add_argument("--disc-start", type=int, default=20000)
+    p.add_argument("--lpips-vgg", default=None)
+    p.add_argument("--lpips-lin", default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_train_vq)
 
     p = sub.add_parser("serve")
     _add_model_args(p)
