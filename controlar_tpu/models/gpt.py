@@ -296,19 +296,17 @@ def _scan_layers(
     mask: Optional[jnp.ndarray],
     fused3: Optional[jnp.ndarray],
     fuse_fn,
-    caches: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
-    pos: Optional[jnp.ndarray] = None,
     unroll: int = 1,
     drop_rng: Optional[jax.Array] = None,
     remat: bool = False,
 ):
-    """Run the layer stack under lax.scan.
+    """Run the layer stack under lax.scan (the TRAINING path; inference
+    lives in decode.py with per-layer unrolling and flat caches).
 
     fused3: (3, B, T_fuse, dim) precomputed control projections (or None).
     fuse_fn(h, fused_j) -> h applies the fusion for one layer given the
     selected projection row(s).
-    caches: stacked (L, B, S, KV, D) k and v, scanned as xs and rebuilt as ys.
-    remat: rematerialize each layer in the backward pass (training).
+    remat: rematerialize each layer in the backward pass.
     """
     gate_np, idx_np = _fusion_gates(cfg)
     gate = jnp.asarray(gate_np)
@@ -317,23 +315,13 @@ def _scan_layers(
 
     def body(carry, xs):
         h = carry
-        if caches is not None:
-            lp, g, j, lid, kc, vc = xs
-        else:
-            lp, g, j, lid = xs
-            kc = vc = None
+        lp, g, j, lid = xs
         if fused3 is not None:
             fused_j = jax.lax.dynamic_index_in_dim(fused3, j, axis=0, keepdims=False)
             h = jax.lax.cond(g > 0, lambda hh: fuse_fn(hh, fused_j), lambda hh: hh, h)
         rng_l = None if drop_rng is None else jax.random.fold_in(drop_rng, lid)
         # stochastic depth: linearly spaced per-layer rate (ref gpt_t2i.py:347)
         dp = cfg.drop_path_rate * lid / max(cfg.n_layer - 1, 1)
-        if caches is not None:
-            h, (kc, vc) = block_forward(
-                lp, cfg, h, rope_slice, mask, (kc, vc), pos, drop_rng=rng_l,
-                drop_path_p=dp,
-            )
-            return h, (kc, vc)
         h, _ = block_forward(
             lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l, drop_path_p=dp
         )
@@ -341,10 +329,6 @@ def _scan_layers(
 
     if remat:
         body = jax.checkpoint(body)
-    if caches is not None:
-        xs = (params["layers"], gate, idx, layer_ids, caches[0], caches[1])
-        h, (k_new, v_new) = jax.lax.scan(body, h, xs, unroll=unroll)
-        return h, (k_new, v_new)
     xs = (params["layers"], gate, idx, layer_ids)
     h, _ = jax.lax.scan(body, h, xs, unroll=unroll)
     return h, None

@@ -61,11 +61,13 @@ class TrainerConfig:
     gpt_ckpt: Optional[str] = None       # init weights (LlamaGen base)
     resume_dir: Optional[str] = None
     seed: int = 0
+    # test/custom hooks: override registry dims / adapter config
+    model_overrides: Optional[Dict[str, Any]] = None
+    adapter_override: Optional[Any] = None
 
     def build_gpt_config(self) -> GPTConfig:
         block = (self.image_size // self.downsample_size) ** 2
-        return gpt_config(
-            self.gpt_model,
+        kw = dict(
             model_type=self.model_type,
             block_size=block,
             cls_token_num=self.cls_token_num,
@@ -77,8 +79,12 @@ class TrainerConfig:
             resid_dropout_p=self.dropout_p,
             ffn_dropout_p=self.dropout_p,
         )
+        kw.update(self.model_overrides or {})
+        return gpt_config(self.gpt_model, **kw)
 
     def build_adapter_config(self) -> vit_model.ViTConfig:
+        if self.adapter_override is not None:
+            return self.adapter_override
         return (
             vit_model.DINOV2_SMALL if self.adapter_size == "small"
             else vit_model.DINOV2_BASE
