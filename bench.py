@@ -47,7 +47,7 @@ def main():
 
     run(0)  # compile
     times = []
-    for i in range(3):
+    for i in range(5):
         t0 = time.perf_counter()
         run(i + 1)
         times.append(time.perf_counter() - t0)
