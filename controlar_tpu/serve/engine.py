@@ -59,9 +59,12 @@ class ServeConfig:
 
 
 class ServeEngine:
-    def __init__(self, params, cfg: GPTConfig, serve_cfg: ServeConfig = ServeConfig()):
+    def __init__(self, params, cfg: GPTConfig,
+                 serve_cfg: Optional[ServeConfig] = None):
         self.params = dec.unstack_layers(params)
         self.cfg = cfg
+        # copy: never mutate a caller's (or a shared default) config
+        serve_cfg = dataclasses.replace(serve_cfg or ServeConfig())
         self.scfg = serve_cfg
         if serve_cfg.use_flash is None:
             serve_cfg.use_flash = jax.default_backend() == "tpu"
