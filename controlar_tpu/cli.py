@@ -98,7 +98,9 @@ def cmd_sample_c2i(args):
     from PIL import Image
 
     pipe = _build_pipeline(args, "c2i")
-    labels = np.array([int(x) for x in args.class_labels.split(",")])
+    from controlar_tpu.data.imagenet_labels import lookup_class
+
+    labels = np.array([lookup_class(x) for x in args.class_labels.split(",")])
     cond = None
     if args.condition_images:
         imgs = [
@@ -257,7 +259,9 @@ def cmd_serve(args):
                     temperature=args.temperature, top_k=args.top_k,
                     top_p=args.top_p),
     )
-    labels = [int(x) for x in args.class_labels.split(",")]
+    from controlar_tpu.data.imagenet_labels import lookup_class
+
+    labels = [lookup_class(x) for x in args.class_labels.split(",")]
     reqs = [Request(request_id=i, label=l, cfg_scale=args.cfg_scale, seed=args.seed + i)
             for i, l in enumerate(labels)]
     import time
@@ -367,7 +371,8 @@ def main(argv=None):
 
     p = sub.add_parser("sample-c2i")
     _add_model_args(p)
-    p.add_argument("--class-labels", default="207,360,387,974")
+    p.add_argument("--class-labels", default="207,360,387,974",
+                   help="comma-separated class ids or names (e.g. 'golden retriever')")
     p.add_argument("--condition-images", default=None, help="comma-separated paths")
     p.set_defaults(fn=cmd_sample_c2i)
 

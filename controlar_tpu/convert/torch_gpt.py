@@ -32,17 +32,49 @@ def unwrap_state_dict(ckpt: Mapping) -> Mapping:
     return ckpt
 
 
-def convert_gpt_state_dict(sd: Mapping[str, "np.ndarray"], cfg: GPTConfig) -> Dict:
+def convert_gpt_state_dict(
+    sd: Mapping[str, "np.ndarray"], cfg: GPTConfig, init_rng_seed: int = 0
+) -> Dict:
     """Convert a torch state_dict (tensors or ndarrays) to the param pytree.
 
     Adapter weights (`adapter.*`, the DINOv2/ViT control encoder) are handled
     by their own converters and skipped here. `condition_embeddings` and
     `condition_norm` exist in checkpoints but are dead in the reference
     forward pass; they are ignored.
+
+    Base LlamaGen checkpoints (the documented fine-tune init,
+    TrainerConfig.gpt_ckpt) lack the ControlAR modules (adapter_mlp,
+    condition_mlp, condition_layers); those fall back to freshly initialized
+    values drawn with `init_rng_seed`, matching starting a control fine-tune
+    from the base model as the reference does.
     """
     sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
           for k, v in sd.items()}
     L = cfg.n_layer
+
+    fresh = None
+
+    def _get(key: str, transpose: bool = True):
+        """Fetch a control-module weight, falling back to fresh init."""
+        nonlocal fresh
+        if key in sd:
+            return _t(sd[key]) if transpose else _a(sd[key])
+        if fresh is None:
+            import jax
+            from controlar_tpu.models.gpt import init_gpt_params
+
+            fresh = jax.tree_util.tree_map(
+                np.asarray,
+                init_gpt_params(jax.random.PRNGKey(init_rng_seed), cfg),
+            )
+        node = fresh
+        parts = key.replace("cap_proj.", "").replace(".weight", "").split(".")
+        # condition_layers.{i}.fcN -> fresh["condition_layers"]["fcN"][i]
+        if parts[0] == "condition_layers":
+            return node["condition_layers"][parts[2]][int(parts[1])]
+        for p in parts:
+            node = node[p]
+        return node
 
     layers = {
         "attention_norm": np.stack([_a(sd[f"layers.{i}.attention_norm.weight"]) for i in range(L)]),
@@ -67,16 +99,16 @@ def convert_gpt_state_dict(sd: Mapping[str, "np.ndarray"], cfg: GPTConfig) -> Di
         "tok_embeddings": _a(sd["tok_embeddings.weight"]),
         "cls_embedding": cls_embedding,
         "adapter_mlp": {
-            "fc1": _t(sd["adapter_mlp.fc1.weight"]),
-            "fc2": _t(sd["adapter_mlp.fc2.weight"]),
+            "fc1": _get("adapter_mlp.fc1.weight"),
+            "fc2": _get("adapter_mlp.fc2.weight"),
         },
         "condition_mlp": {
-            "fc1": _t(sd["condition_mlp.cap_proj.fc1.weight"]),
-            "fc2": _t(sd["condition_mlp.cap_proj.fc2.weight"]),
+            "fc1": _get("condition_mlp.cap_proj.fc1.weight"),
+            "fc2": _get("condition_mlp.cap_proj.fc2.weight"),
         },
         "condition_layers": {
-            "fc1": np.stack([_t(sd[f"condition_layers.{i}.fc1.weight"]) for i in range(3)]),
-            "fc2": np.stack([_t(sd[f"condition_layers.{i}.fc2.weight"]) for i in range(3)]),
+            "fc1": np.stack([_get(f"condition_layers.{i}.fc1.weight") for i in range(3)]),
+            "fc2": np.stack([_get(f"condition_layers.{i}.fc2.weight") for i in range(3)]),
         },
         "layers": layers,
         "norm": _a(sd["norm.weight"]),

@@ -70,7 +70,8 @@ def generate_tokens(
     fused3: (3, Bc, block_size, dim) control projections or None.
     col_mask: (B_logical? ) -> must already be (Bc, T_cls) boolean, or None.
     use_flash: route decode attention through the Pallas flash-decode kernel
-    (TPU only; requires col_mask=None until the kernel gains column masking).
+    (TPU only); a col_mask rides the kernel's additive column-bias path, so
+    t2i emb masks are fully supported.
     Returns (B, max_new_tokens) int32 tokens (conditional half only).
     """
     bc, t_cls, _ = prefix_emb.shape
@@ -92,7 +93,10 @@ def generate_tokens(
         return logits
 
     def mix_interval(logits, step):
-        # after cfg_interval steps, fall back to cond logits (scale=1)
+        # after cfg_interval decode steps, fall back to cond logits (scale=1).
+        # `step` is the 0-based decode-loop index i, matching the reference's
+        # `if i > cfg_interval` in decode_n_tokens (generate.py:104-107): CFG
+        # stays active through step i == cfg_interval inclusive.
         if use_cfg:
             cond, uncond = jnp.split(logits, 2, axis=0)
             if cfg_interval > -1:
@@ -122,7 +126,7 @@ def generate_tokens(
             params, cfg, caches, cur_c, pos, fused3, col_mask_full,
             control_strength, use_flash=use_flash,
         )
-        logits = mix_interval(logits, i + 1)
+        logits = mix_interval(logits, i)
         nxt = _sample_from(
             jax.random.fold_in(rng, i + 1), logits,
             temperature, top_k, top_p, sample_logits,

@@ -41,9 +41,10 @@ Params = Dict[str, Any]
 
 def init_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params:
     """Initialize parameters matching the reference init distribution:
-    normal(0, initializer_range) for linears/embeddings, zeros for the output
-    head (t2i; ref gpt_t2i.py:377) and zeros for the adapter/condition MLPs
-    (ref gpt_t2i.py:174-175)."""
+    normal(0, initializer_range) for all linears/embeddings — including the
+    adapter/condition control MLPs (ref gpt_t2i.py:372-389 re-inits every
+    nn.Linear after construction) — with zeros only for the output head
+    (ref gpt_t2i.py:377)."""
     std = cfg.initializer_range
     keys = iter(jax.random.split(rng, 64))
 
@@ -83,11 +84,16 @@ def init_gpt_params(rng: jax.Array, cfg: GPTConfig, dtype=jnp.float32) -> Params
     params = {
         "tok_embeddings": normal((cfg.vocab_size, d)),
         "cls_embedding": cls_embedding,
-        # zero-init control MLPs (ref gpt_t2i.py:174-175): control branch is a
-        # no-op at start of fine-tuning
-        "adapter_mlp": {"fc1": zeros((cfg.adapter_dim, d)), "fc2": zeros((d, d))},
-        "condition_mlp": {"fc1": zeros((d, d)), "fc2": zeros((d, d))},
-        "condition_layers": {"fc1": zeros((3, d, d)), "fc2": zeros((3, d, d))},
+        # Control MLPs use the same normal(0, std) init as every other linear:
+        # the reference's MLP constructor zeros them (gpt_t2i.py:174-175) but
+        # initialize_weights() then applies _init_weights to EVERY nn.Linear
+        # (gpt_t2i.py:372-389), overwriting the zeros; only `output` is
+        # re-zeroed. Zero-init here would make the whole control branch a
+        # permanent zero-gradient fixed point (gelu(x@0)@0 has zero grad in
+        # both matrices).
+        "adapter_mlp": {"fc1": normal((cfg.adapter_dim, d)), "fc2": normal((d, d))},
+        "condition_mlp": {"fc1": normal((d, d)), "fc2": normal((d, d))},
+        "condition_layers": {"fc1": normal((3, d, d)), "fc2": normal((3, d, d))},
         "layers": layers,
         "norm": jnp.ones((d,), dtype),
         "output": zeros((d, cfg.vocab_size))

@@ -105,7 +105,7 @@ def canny(
     weak = candidate & ~strong
 
     def body(state):
-        edges, changed = state
+        edges, changed, it = state
         grown = (
             _shift(edges, 0, -1) | _shift(edges, 0, 1)
             | _shift(edges, -1, 0) | _shift(edges, 1, 0)
@@ -113,10 +113,12 @@ def canny(
             | _shift(edges, 1, -1) | _shift(edges, 1, 1)
         )
         new_edges = edges | (weak & grown)
-        return new_edges, (new_edges != edges).any()
+        return new_edges, (new_edges != edges).any(), it + 1
 
     def cond(state):
-        return state[1]
+        return state[1] & (state[2] < max_iters)
 
-    edges, _ = jax.lax.while_loop(cond, body, (strong, jnp.asarray(True)))
+    edges, _, _ = jax.lax.while_loop(
+        cond, body, (strong, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    )
     return (edges * 255).astype(jnp.uint8)

@@ -79,13 +79,13 @@ class ServeEngine:
         self.col_mask = jnp.ones((2 * n, self.s_max), bool)
         self.cfg_scales = jnp.ones((n,), jnp.float32)
         self.strengths = jnp.ones((n,), jnp.float32)
+        self.seeds = jnp.zeros((n,), jnp.uint32)
         self.active = np.zeros((n,), bool)
         self.emitted = np.zeros((n,), np.int64)
         self.slot_req: List[Optional[Request]] = [None] * n
         self.outputs: Dict[int, List[int]] = {}
         self.waiting: "queue.deque[Request]" = __import__("collections").deque()
         self.finished: List[Request] = []
-        self._rng_salt = 0
 
     # ------------------------------------------------------------------
     def add_request(self, req: Request):
@@ -155,6 +155,7 @@ class ServeEngine:
         self.cur_tok = self.cur_tok.at[rows].set(tok)
         self.cfg_scales = self.cfg_scales.at[slot].set(req.cfg_scale)
         self.strengths = self.strengths.at[slot].set(req.control_strength)
+        self.seeds = self.seeds.at[slot].set(np.uint32(req.seed))
         self.active[slot] = True
         self.emitted[slot] = 1
         self.slot_req[slot] = req
@@ -177,13 +178,17 @@ class ServeEngine:
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(2,))
     def _quantum_jit(self, n_steps, caches, fused, pos, cur_tok, cfg_scales,
-                     strengths, active, rng, col_mask):
-        """Run n_steps lockstep decode steps with per-slot positions."""
+                     strengths, active, seeds, col_mask):
+        """Run n_steps lockstep decode steps with per-slot positions.
+
+        Sampling is reproducible per request: token k of a slot is drawn with
+        fold_in(PRNGKey(request.seed), k) regardless of engine scheduling
+        state (the admit-time prefill token is k=0 via the same derivation)."""
         cfg = self.cfg
         n = self.scfg.max_slots
 
         def step(carry, i):
-            caches, pos, cur, rng = carry
+            caches, pos, cur = carry
             logits, caches = dec.decode_step_multi(
                 self.params, cfg, caches, cur, pos, fused,
                 control_strength=jnp.concatenate([strengths, strengths])[:, None, None],
@@ -195,19 +200,23 @@ class ServeEngine:
             lg = mixed.astype(jnp.float32) / max(self.scfg.temperature, 1e-5)
             if self.scfg.top_k > 0 or self.scfg.top_p < 1.0:
                 lg = top_k_top_p_filter(lg, self.scfg.top_k, self.scfg.top_p)
-            rng, sub = jax.random.split(rng)
             if self.scfg.greedy:
                 nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             else:
-                nxt = jax.random.categorical(sub, lg, axis=-1).astype(jnp.int32)
+                # index of the token being sampled for each slot (prefill = 0)
+                tok_idx = pos[:n] - cfg.cls_token_num + 1
+                keys = jax.vmap(
+                    lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+                )(seeds, tok_idx)
+                nxt = jax.vmap(jax.random.categorical)(keys, lg).astype(jnp.int32)
             nxt2 = jnp.concatenate([nxt, nxt])
             # only active slots advance
             pos = jnp.where(active, pos + 1, pos)
             cur = jnp.where(active, nxt2, cur)
-            return (caches, pos, cur, rng), nxt
+            return (caches, pos, cur), nxt
 
-        (caches, pos, cur, _), toks = jax.lax.scan(
-            step, (caches, pos, cur_tok, rng), jnp.arange(n_steps)
+        (caches, pos, cur), toks = jax.lax.scan(
+            step, (caches, pos, cur_tok), jnp.arange(n_steps)
         )
         return caches, pos, cur, toks  # toks: (n_steps, slots)
 
@@ -227,11 +236,9 @@ class ServeEngine:
         )
         q = int(min(self.scfg.quantum, remaining.min()))
         active2 = jnp.asarray(np.concatenate([self.active, self.active]))
-        self._rng_salt += 1
         self.caches, self.pos, self.cur_tok, toks = self._quantum_jit(
             q, self.caches, self.fused, self.pos, self.cur_tok,
-            self.cfg_scales, self.strengths, active2,
-            jax.random.PRNGKey(self._rng_salt), self.col_mask,
+            self.cfg_scales, self.strengths, active2, self.seeds, self.col_mask,
         )
         toks = jax.device_get(toks)  # (q, slots)
         for s in range(n):

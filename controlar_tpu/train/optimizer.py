@@ -48,17 +48,33 @@ def zero_frozen_grads(grads):
     )
 
 
+def step_lr(lr: float, decay_every_steps: int, gamma: float = 0.9) -> optax.Schedule:
+    """torch StepLR equivalent: lr * gamma^(step // decay_every_steps).
+
+    The reference's seg trainer decays per epoch with gamma=0.9 (ref
+    autoregressive/train/train_t2i_seg.py, StepLR(optimizer, 1, 0.9) applied
+    each epoch); callers pass decay_every_steps = steps per epoch.
+    """
+    return optax.exponential_decay(
+        init_value=lr,
+        transition_steps=decay_every_steps,
+        decay_rate=gamma,
+        staircase=True,
+    )
+
+
 def make_optimizer(
     lr: float = 1e-4,
     weight_decay: float = 5e-2,
     beta1: float = 0.9,
     beta2: float = 0.95,
     max_grad_norm: float = 1.0,
+    lr_schedule: "optax.Schedule | None" = None,
 ) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(
-            learning_rate=lr,
+            learning_rate=lr_schedule if lr_schedule is not None else lr,
             b1=beta1,
             b2=beta2,
             weight_decay=weight_decay,

@@ -41,6 +41,10 @@ class TrainerConfig:
     dropout_p: float = 0.1
     # optimization (ref trainer defaults)
     lr: float = 1e-4
+    # StepLR: decay lr by lr_gamma every lr_decay_every steps (the seg trainer
+    # uses gamma=0.9 per epoch; 0 disables — matches every other ref trainer)
+    lr_gamma: float = 1.0
+    lr_decay_every: int = 0
     weight_decay: float = 5e-2
     beta1: float = 0.9
     beta2: float = 0.95
@@ -58,6 +62,11 @@ class TrainerConfig:
     results_dir: str = "results"
     ckpt_every: int = 10000
     log_every: int = 100
+    # observability: capture a jax.profiler trace of steps
+    # [profile_start_step, profile_start_step + profile_num_steps)
+    profile_dir: Optional[str] = None
+    profile_start_step: int = 10
+    profile_num_steps: int = 5
     gpt_ckpt: Optional[str] = None       # init weights (LlamaGen base)
     resume_dir: Optional[str] = None
     seed: int = 0
@@ -97,9 +106,15 @@ class Trainer:
         self.gpt_cfg = cfg.build_gpt_config()
         self.adapter_cfg = cfg.build_adapter_config()
         self.mesh = make_mesh(data=cfg.data_axis, fsdp=cfg.fsdp_axis, tp=cfg.tp_axis)
+        from controlar_tpu.train.optimizer import step_lr
+
+        schedule = None
+        if cfg.lr_decay_every > 0 and cfg.lr_gamma != 1.0:
+            schedule = step_lr(cfg.lr, cfg.lr_decay_every, cfg.lr_gamma)
         self.tx = make_optimizer(
             lr=cfg.lr, weight_decay=cfg.weight_decay, beta1=cfg.beta1,
             beta2=cfg.beta2, max_grad_norm=cfg.max_grad_norm,
+            lr_schedule=schedule,
         )
         self.step_fn = jax.jit(
             make_control_train_step(
@@ -166,6 +181,9 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed + 1234)
         t0 = time.time()
         running = []
+        n_chips = jax.device_count()
+        first_step_done = False
+        profiling = False
         with jax.set_mesh(self.mesh):
             for epoch in range(cfg.epochs):
                 loader.set_epoch(epoch)
@@ -173,20 +191,46 @@ class Trainer:
                     state, metrics = self.step_fn(state, self.put_batch(batch), rng)
                     running.append(metrics)
                     step = int(state.step)
-                    if step % cfg.log_every == 0:
+                    if not first_step_done:
+                        # first step = trace + compile; keep it out of the
+                        # throughput window (SURVEY §5: first-class img/s/chip)
+                        jax.device_get(metrics["loss"])  # device_get: real barrier (axon block_until_ready is unreliable)
+                        self.log(f"compile+step0 took {time.time() - t0:.1f}s")
+                        first_step_done = True
+                        running, t0 = [], time.time()
+                    if cfg.profile_dir and jax.process_index() == 0:
+                        if step == cfg.profile_start_step and not profiling:
+                            jax.profiler.start_trace(cfg.profile_dir)
+                            profiling = True
+                        elif profiling and step >= (
+                            cfg.profile_start_step + cfg.profile_num_steps
+                        ):
+                            jax.device_get(metrics["loss"])  # device_get: real barrier (axon block_until_ready is unreliable)
+                            jax.profiler.stop_trace()
+                            profiling = False
+                            self.log(f"profile trace written to {cfg.profile_dir}")
+                    if step % cfg.log_every == 0 and running:
                         losses = np.mean([float(m["loss"]) for m in running])
                         dt = time.time() - t0
                         sps = len(running) / dt
+                        ips_chip = sps * cfg.global_batch_size / n_chips
                         self.log(
                             f"step={step:07d} epoch={epoch} loss={losses:.4f} "
-                            f"steps/sec={sps:.2f}"
+                            f"steps/sec={sps:.2f} imgs/sec/chip={ips_chip:.2f}"
                         )
                         running, t0 = [], time.time()
-                    if step % cfg.ckpt_every == 0 and jax.process_index() == 0:
+                    if step % cfg.ckpt_every == 0:
+                        # saving sharded arrays is a collective — ALL processes
+                        # must call save (orbax routes writes to the primary
+                        # host internally); only the log line is rank-gated
                         path = ckpt_lib.save_train_state(
                             os.path.join(cfg.results_dir, "checkpoints"), state
                         )
                         self.log(f"saved {path}")
                     if max_steps is not None and step >= max_steps:
+                        if profiling:
+                            jax.profiler.stop_trace()
                         return state
+        if profiling:
+            jax.profiler.stop_trace()
         return state
