@@ -322,6 +322,53 @@ def cmd_eval_vq(args):
     print(json.dumps(out))
 
 
+def cmd_verify_zoo(args):
+    """Released-checkpoint parity gate (BASELINE.md bit-for-bit claim):
+    convert each checkpoint, run greedy generation through both the imported
+    torch reference and this repo, report PASS/FAIL on exact token equality."""
+    from controlar_tpu import verify_zoo
+
+    results = []
+    if args.self_test:
+        for mt in ("c2i", "t2i"):
+            results.append(verify_zoo.self_test(model_type=mt))
+    for ck in args.checkpoints:
+        results.append(verify_zoo.verify_checkpoint(
+            ck, args.size, model_type=args.model_type,
+            adapter_size=args.adapter_size, block_size=args.block_size,
+            max_new_tokens=args.max_new_tokens, cfg_scale=args.cfg_scale,
+        ))
+    ok = True
+    for r in results:
+        print(r.line())
+        ok &= r.passed
+    if not ok:
+        sys.exit(1)
+
+
+def cmd_eval_c2i(args):
+    """FID / sFID / IS / Precision / Recall between two npz image batches
+    (the reference's evaluations/c2i/evaluator.py protocol, all 5 metrics)."""
+    import jax
+
+    from controlar_tpu.eval.evaluator import evaluate_all
+    from controlar_tpu.eval.inception import init_inception_params
+
+    if args.inception_ckpt:
+        from controlar_tpu.convert.torch_inception import load_torch_inception
+
+        params = load_torch_inception(args.inception_ckpt)
+    else:
+        print("[warn] random Inception weights — metric values are NOT "
+              "meaningful without the pytorch-fid checkpoint "
+              "(pt_inception-2015-12-05-*.pth)", file=sys.stderr)
+        params = init_inception_params(jax.random.PRNGKey(0))
+
+    out = evaluate_all(params, args.ref_batch, args.sample_batch,
+                       batch_size=args.batch_size)
+    print(json.dumps({k: round(float(v), 5) for k, v in out.items()}))
+
+
 def cmd_extract(args):
     """Build a code tree from an image folder (+ optional captions jsonl)."""
     import jax, jax.numpy as jnp
@@ -427,6 +474,29 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--output-dir", default=None)
     p.set_defaults(fn=cmd_eval_vq)
+
+    p = sub.add_parser("verify-zoo")
+    p.add_argument("checkpoints", nargs="*", help=".pt/.safetensors paths")
+    p.add_argument("--size", default="GPT-XL")
+    p.add_argument("--model-type", default="t2i", choices=["c2i", "t2i"])
+    p.add_argument("--adapter-size", default="small", choices=["small", "base"])
+    p.add_argument("--block-size", type=int, default=1024,
+                   help="image tokens (1024 = 512px t2i, 576 = 384px c2i)")
+    p.add_argument("--max-new-tokens", type=int, default=None,
+                   help="cap decode steps (full block by default; the torch "
+                        "reference runs on CPU here, so long decodes are slow)")
+    p.add_argument("--cfg-scale", type=float, default=2.0)
+    p.add_argument("--self-test", action="store_true",
+                   help="run the gate on a tiny random reference checkpoint")
+    p.set_defaults(fn=cmd_verify_zoo)
+
+    p = sub.add_parser("eval-c2i")
+    p.add_argument("ref_batch", help="reference npz (arr_0 NHWC uint8, or mu/sigma stats)")
+    p.add_argument("sample_batch", help="samples npz from eval/sampler.py")
+    p.add_argument("--inception-ckpt", default=None,
+                   help="pytorch-fid pt_inception-2015-12-05-*.pth")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.set_defaults(fn=cmd_eval_c2i)
 
     p = sub.add_parser("extract")
     p.add_argument("--vq-ckpt", default=None)

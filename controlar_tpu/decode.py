@@ -31,6 +31,7 @@ from controlar_tpu.models.gpt import (
 from controlar_tpu.ops.cache_append import cache_append_rows
 from controlar_tpu.ops.flash_decode2 import flash_decode_attention2 as flash_decode_attention
 from controlar_tpu.ops.norms import rms_norm
+from controlar_tpu.quant import wdot
 
 # per-layer interleaved [k|v] slabs: rows are (2*H*D,) so one DMA chain
 # fetches both in the flash kernel
@@ -89,7 +90,7 @@ def _layer_params(params: Params, l: int):
 
 def _logits(params: Params, cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return (h @ params["output"]).astype(jnp.float32)
+    return wdot(h, params["output"]).astype(jnp.float32)
 
 
 def prefill_flat(
@@ -135,9 +136,9 @@ def prefill_flat(
         attn = jnp.einsum(
             "bhts,bshd->bthd", probs, v, preferred_element_type=jnp.float32
         ).astype(x.dtype).reshape(b, t, hd)
-        h = h + attn @ lp["wo"]
+        h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)
 
@@ -213,9 +214,9 @@ def decode_step_multi(
             attn = jnp.einsum(
                 "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
             ).astype(h.dtype).reshape(b, 1, hd)
-        h = h + attn @ lp["wo"]
+        h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)
 
@@ -278,8 +279,8 @@ def decode_step_flat(
             attn = jnp.einsum(
                 "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
             ).astype(h.dtype).reshape(b, 1, hd)
-        h = h + attn @ lp["wo"]
+        h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)

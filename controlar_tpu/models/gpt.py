@@ -30,6 +30,7 @@ import numpy as np
 
 from controlar_tpu.config import GPTConfig
 from controlar_tpu.ops.norms import rms_norm
+from controlar_tpu.quant import wdot
 from controlar_tpu.ops.rope import apply_rope, precompute_rope_2d
 
 Params = Dict[str, Any]
@@ -188,7 +189,7 @@ def _qkv(lp: Params, cfg: GPTConfig, x: jnp.ndarray, rope_slice: jnp.ndarray):
     """Project + rotate. x: (B, T, dim) -> q (B,T,H,D), k/v (B,T,KV,D)."""
     b, t, _ = x.shape
     nh, nkv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
-    qkv = x @ lp["wqkv"]
+    qkv = wdot(x, lp["wqkv"])
     q, k, v = jnp.split(qkv, [nh * hd, nh * hd + nkv * hd], axis=-1)
     q = q.reshape(b, t, nh, hd)
     k = k.reshape(b, t, nkv, hd)
@@ -275,14 +276,14 @@ def block_forward(
         )
         return jnp.where(keep, branch / (1.0 - drop_path_p), 0.0)
 
-    attn_out = attn @ lp["wo"]
+    attn_out = wdot(attn, lp["wo"])
     if drop_rng is not None and cfg.resid_dropout_p > 0:
         attn_out = _dropout(jax.random.fold_in(drop_rng, 1), cfg.resid_dropout_p, attn_out)
     if drop_rng is not None and cfg.drop_path_rate > 0:
         attn_out = _drop_path(jax.random.fold_in(drop_rng, 3), attn_out)
     h = h + attn_out
     x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-    ffn = (jax.nn.silu(x @ lp["w1"]) * (x @ lp["w3"])) @ lp["w2"]
+    ffn = wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
     if drop_rng is not None and cfg.ffn_dropout_p > 0:
         ffn = _dropout(jax.random.fold_in(drop_rng, 2), cfg.ffn_dropout_p, ffn)
     if drop_rng is not None and cfg.drop_path_rate > 0:
@@ -342,7 +343,7 @@ def _scan_layers(
 
 def _logits(params: Params, cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
     h = rms_norm(h, params["norm"], cfg.norm_eps)
-    return (h @ params["output"]).astype(jnp.float32)
+    return wdot(h, params["output"]).astype(jnp.float32)
 
 
 def forward_train(

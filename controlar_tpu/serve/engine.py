@@ -12,15 +12,31 @@ the conditional branch, rows [slots, 2*slots) the unconditional branch —
 CFG pairing inside the engine mirrors the reference sampler's split/mix +
 token mirroring, ref serve/sampler.py:54-58,106-108). Each slot advances at
 its own position (per-slot pos vector through decode_step_multi / the flash
-kernel's per-slot prefetch). Admission runs a batch-2 prefill and scatters
-the slot's cache rows; a decode "quantum" of N steps runs as one device
-program before the host syncs, collects finished sequences, and refills.
+kernel's per-slot prefetch).
+
+Scheduling (one `step()`):
+1. GROUP admission — every waiting request that has a free slot is prefilled
+   in ONE device program (batch 2K cond/uncond), its first token sampled
+   in-graph, and its slot state scattered in-graph. Groups are bucketed to
+   powers of two (pad entries replicate request 0 onto slot 0: duplicate
+   scatter indices with identical payloads are benign), so at most
+   log2(max_slots)+1 admission programs ever compile.
+2. A fixed-length decode quantum (ALWAYS `quantum` steps — one compiled
+   program, ever). Completed slots freeze in-graph: the advance mask is
+   `active & (pos < t_cls + block_size - 1)`; a frozen slot re-decodes its
+   last token at its last position, rewriting identical KV bytes, and the
+   host discards the surplus samples.
+3. Host collects finished sequences and refills.
+
+Sampling is reproducible per request: token k of a request is ALWAYS drawn
+with fold_in(PRNGKey(request.seed), k), independent of scheduling state
+(admission samples k=0 through the same derivation, in-graph).
 """
 from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -49,13 +65,16 @@ class Request:
 @dataclasses.dataclass
 class ServeConfig:
     max_slots: int = 8
-    quantum: int = 64           # decode steps per device program
+    quantum: int = 64           # decode steps per device program (fixed)
     temperature: float = 1.0
     top_k: int = 2000
     top_p: float = 1.0
     greedy: bool = False
     cache_dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
+    # persistent XLA compilation cache (cuts the one-time quantum compile to
+    # a disk load on every process after the first)
+    compilation_cache_dir: Optional[str] = None
 
 
 class ServeEngine:
@@ -68,6 +87,10 @@ class ServeEngine:
         self.scfg = serve_cfg
         if serve_cfg.use_flash is None:
             serve_cfg.use_flash = jax.default_backend() == "tpu"
+        if serve_cfg.compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir", serve_cfg.compilation_cache_dir
+            )
         n = serve_cfg.max_slots
         s_align = 256 if serve_cfg.use_flash else 8
         self.s_max = find_multiple(cfg.cls_token_num + cfg.block_size, s_align)
@@ -95,97 +118,138 @@ class ServeEngine:
         return bool(self.waiting) or self.active.any()
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2))
-    def _admit_jit(self, caches, fused, prefix_emb, fused3_req, rows, col_mask_req):
-        """Prefill one request (batch 2: cond/uncond) and scatter its slot."""
-        small = dec.init_flat_caches(
-            self.cfg, 2, self.s_max, self.scfg.cache_dtype
-        )
-        logits, small = dec.prefill_flat(
-            self.params, self.cfg, small, prefix_emb, fused3_req, col_mask_req
-        )
-        kvs = tuple(
-            kv.at[rows].set(skv) for kv, skv in zip(caches, small)
-        )
-        fused = fused.at[:, rows].set(fused3_req.astype(fused.dtype))
-        return logits, kvs, fused
+    def _filtered(self, logits):
+        lg = logits.astype(jnp.float32) / max(self.scfg.temperature, 1e-5)
+        if self.scfg.top_k > 0 or self.scfg.top_p < 1.0:
+            lg = top_k_top_p_filter(lg, self.scfg.top_k, self.scfg.top_p)
+        return lg
 
-    def _admit(self, req: Request, slot: int):
-        cfg = self.cfg
-        n = self.scfg.max_slots
-        if cfg.model_type == "c2i":
-            labels = jnp.asarray([req.label, cfg.num_classes])
-            prefix = gpt_model.embed_prefix_c2i(self.params, labels)
-        else:
-            cap = jnp.asarray(req.caption_emb)[None]
-            uncond = self.params["cls_embedding"]["uncond_embedding"][None]
-            cap = jnp.concatenate([cap, uncond.astype(cap.dtype)], axis=0)
-            prefix = gpt_model.embed_prefix_t2i(self.params, cap)[:, : cfg.cls_token_num]
-
-        if req.adapter_features is not None:
-            ct = gpt_model.mlp_gelu(
-                self.params["adapter_mlp"], jnp.asarray(req.adapter_features)[None]
-            )
-            ct = jnp.concatenate([ct, jnp.zeros_like(ct)], axis=0)
-            ct = gpt_model.mlp_gelu(self.params["condition_mlp"], ct)
-            fused3_req = gpt_model.fusion_projections(self.params, ct)
-        else:
-            fused3_req = jnp.zeros((3, 2, cfg.block_size, cfg.dim))
-
-        rows = jnp.asarray([slot, slot + n])
-        if req.emb_mask is not None:
-            cm = jnp.asarray(req.emb_mask, bool)[None]
-            col_mask_req = jnp.concatenate([cm, cm], axis=0)  # (2, T_cls)
-        else:
-            col_mask_req = None
-        logits, self.caches, self.fused = self._admit_jit(
-            self.caches, self.fused, prefix.astype(jnp.bfloat16), fused3_req, rows,
-            col_mask_req,
-        )
-        full = jnp.ones((self.s_max,), bool)
-        if req.emb_mask is not None:
-            full = full.at[: self.cfg.cls_token_num].set(
-                jnp.asarray(req.emb_mask, bool)
-            )
-        self.col_mask = self.col_mask.at[rows].set(full)
-        mixed = self._mix_host(logits, req.cfg_scale)
-        tok = self._sample_host(mixed, req.seed, 0)
-        t_cls = cfg.cls_token_num
-        self.pos = self.pos.at[rows].set(t_cls)
-        self.cur_tok = self.cur_tok.at[rows].set(tok)
-        self.cfg_scales = self.cfg_scales.at[slot].set(req.cfg_scale)
-        self.strengths = self.strengths.at[slot].set(req.control_strength)
-        self.seeds = self.seeds.at[slot].set(np.uint32(req.seed))
-        self.active[slot] = True
-        self.emitted[slot] = 1
-        self.slot_req[slot] = req
-        self.outputs[req.request_id] = [int(tok)]
-
-    def _mix_host(self, logits, scale):
-        cond, uncond = logits[0], logits[1]
-        return (uncond + (cond - uncond) * scale)[None]
-
-    def _sample_host(self, logits, seed, step):
-        scfg = self.scfg
-        logits = logits.astype(jnp.float32) / max(scfg.temperature, 1e-5)
-        if scfg.top_k > 0 or scfg.top_p < 1.0:
-            logits = top_k_top_p_filter(logits, scfg.top_k, scfg.top_p)
-        if scfg.greedy:
-            return jnp.argmax(logits, axis=-1)[0].astype(jnp.int32)
-        rng = jax.random.fold_in(jax.random.PRNGKey(seed), step)
-        return jax.random.categorical(rng, logits, axis=-1)[0].astype(jnp.int32)
+    def _sample(self, logits, seeds, tok_idx):
+        """logits (K, vocab); seeds (K,) uint32; tok_idx (K,) int32."""
+        lg = self._filtered(logits)
+        if self.scfg.greedy:
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        keys = jax.vmap(
+            lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
+        )(seeds, tok_idx)
+        return jax.vmap(jax.random.categorical)(keys, lg).astype(jnp.int32)
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self", "n_steps"), donate_argnums=(2,))
-    def _quantum_jit(self, n_steps, caches, fused, pos, cur_tok, cfg_scales,
-                     strengths, active, seeds, col_mask):
-        """Run n_steps lockstep decode steps with per-slot positions.
+    @partial(jax.jit, static_argnames=("self",),
+             donate_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+    def _admit_group_jit(self, caches, fused, pos, cur_tok, col_mask,
+                         cfg_scales, strengths, seeds_state,
+                         prefix_src, adapter_feats, emb_mask, slots,
+                         scales, strengths_req, seeds_req):
+        """Prefill K requests (batch 2K: [cond_0..K, uncond_0..K]), sample
+        their first tokens in-graph, scatter every per-slot state array.
 
-        Sampling is reproducible per request: token k of a slot is drawn with
-        fold_in(PRNGKey(request.seed), k) regardless of engine scheduling
-        state (the admit-time prefill token is k=0 via the same derivation)."""
+        prefix_src: c2i labels (K,) int32 OR t2i caption emb (K, T_cls, Dcap).
+        adapter_feats: (K, block, adapter_dim) — zeros when a request has no
+        control input (the control MLPs are bias-free, so zeros stay zeros).
+        emb_mask: (K, T_cls) bool (all-ones when unused).
+        """
+        cfg, n = self.cfg, self.scfg.max_slots
+        k = slots.shape[0]
+        rows = jnp.concatenate([slots, slots + n])  # (2K,)
+
+        if cfg.model_type == "c2i":
+            labels2 = jnp.concatenate(
+                [prefix_src, jnp.full_like(prefix_src, cfg.num_classes)]
+            )
+            prefix = gpt_model.embed_prefix_c2i(self.params, labels2)
+        else:
+            uncond = jnp.broadcast_to(
+                self.params["cls_embedding"]["uncond_embedding"][None],
+                prefix_src.shape,
+            ).astype(prefix_src.dtype)
+            cap = jnp.concatenate([prefix_src, uncond], axis=0)
+            prefix = gpt_model.embed_prefix_t2i(self.params, cap)[:, : cfg.cls_token_num]
+
+        ct = gpt_model.mlp_gelu(self.params["adapter_mlp"], adapter_feats)
+        ct = jnp.concatenate([ct, jnp.zeros_like(ct)], axis=0)
+        ct = gpt_model.mlp_gelu(self.params["condition_mlp"], ct)
+        fused3_req = gpt_model.fusion_projections(self.params, ct)  # (3,2K,blk,d)
+
+        col_req = jnp.concatenate([emb_mask, emb_mask], axis=0)  # (2K, T_cls)
+        small = dec.init_flat_caches(cfg, 2 * k, self.s_max, self.scfg.cache_dtype)
+        logits, small = dec.prefill_flat(
+            self.params, cfg, small, prefix.astype(jnp.bfloat16),
+            fused3_req, col_req,
+        )
+        caches = tuple(kv.at[rows].set(skv) for kv, skv in zip(caches, small))
+        fused = fused.at[:, rows].set(fused3_req.astype(fused.dtype))
+        col_full = jnp.ones((2 * k, self.s_max), bool)
+        col_full = col_full.at[:, : cfg.cls_token_num].set(col_req)
+        col_mask = col_mask.at[rows].set(col_full)
+
+        cond, uncond_l = jnp.split(logits, 2, axis=0)
+        mixed = uncond_l + (cond - uncond_l) * scales[:, None]
+        tok = self._sample(mixed, seeds_req, jnp.zeros((k,), jnp.int32))
+
+        pos = pos.at[rows].set(cfg.cls_token_num)
+        cur_tok = cur_tok.at[rows].set(jnp.concatenate([tok, tok]))
+        cfg_scales = cfg_scales.at[slots].set(scales)
+        strengths = strengths.at[slots].set(strengths_req)
+        seeds_state = seeds_state.at[slots].set(seeds_req)
+        return (caches, fused, pos, cur_tok, col_mask, cfg_scales, strengths,
+                seeds_state, tok)
+
+    def _admit_group(self, reqs: Sequence[Request], slots: Sequence[int]):
+        cfg = self.cfg
+        k_real = len(reqs)
+        k = 1 << (k_real - 1).bit_length()  # power-of-two bucket
+        pad = k - k_real
+        # padding replicates request 0 onto slot 0: duplicate scatter indices
+        # with identical payloads write identical bytes
+        reqs = list(reqs) + [reqs[0]] * pad
+        slot_idx = np.asarray(list(slots) + [slots[0]] * pad, np.int32)
+
+        if cfg.model_type == "c2i":
+            prefix_src = jnp.asarray([r.label for r in reqs], jnp.int32)
+        else:
+            prefix_src = jnp.asarray(
+                np.stack([np.asarray(r.caption_emb, np.float32) for r in reqs])
+            )
+        feats = np.stack([
+            np.asarray(r.adapter_features, np.float32)
+            if r.adapter_features is not None
+            else np.zeros((cfg.block_size, cfg.adapter_dim), np.float32)
+            for r in reqs
+        ])
+        masks = np.stack([
+            np.asarray(r.emb_mask, bool) if r.emb_mask is not None
+            else np.ones((cfg.cls_token_num,), bool)
+            for r in reqs
+        ])
+        (self.caches, self.fused, self.pos, self.cur_tok, self.col_mask,
+         self.cfg_scales, self.strengths, self.seeds, tok) = self._admit_group_jit(
+            self.caches, self.fused, self.pos, self.cur_tok, self.col_mask,
+            self.cfg_scales, self.strengths, self.seeds,
+            prefix_src, jnp.asarray(feats), jnp.asarray(masks),
+            jnp.asarray(slot_idx),
+            jnp.asarray([r.cfg_scale for r in reqs], jnp.float32),
+            jnp.asarray([r.control_strength for r in reqs], jnp.float32),
+            jnp.asarray([np.uint32(r.seed) for r in reqs], jnp.uint32),
+        )
+        tok = jax.device_get(tok)  # ONE host sync for the whole group
+        for i in range(k_real):
+            req, slot = reqs[i], int(slot_idx[i])
+            self.active[slot] = True
+            self.emitted[slot] = 1
+            self.slot_req[slot] = req
+            self.outputs[req.request_id] = [int(tok[i])]
+
+    # ------------------------------------------------------------------
+    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    def _quantum_jit(self, caches, fused, pos, cur_tok, cfg_scales,
+                     strengths, active, seeds, col_mask):
+        """Run EXACTLY scfg.quantum lockstep decode steps (one compiled
+        program for the engine's lifetime). Slots freeze in-graph once their
+        block is emitted; frozen slots rewrite identical KV bytes in place."""
         cfg = self.cfg
         n = self.scfg.max_slots
+        stop = cfg.cls_token_num + cfg.block_size - 1
 
         def step(carry, i):
             caches, pos, cur = carry
@@ -197,50 +261,41 @@ class ServeEngine:
             )
             cond, uncond = jnp.split(logits, 2, axis=0)
             mixed = uncond + (cond - uncond) * cfg_scales[:, None]
-            lg = mixed.astype(jnp.float32) / max(self.scfg.temperature, 1e-5)
-            if self.scfg.top_k > 0 or self.scfg.top_p < 1.0:
-                lg = top_k_top_p_filter(lg, self.scfg.top_k, self.scfg.top_p)
-            if self.scfg.greedy:
-                nxt = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            else:
-                # index of the token being sampled for each slot (prefill = 0)
-                tok_idx = pos[:n] - cfg.cls_token_num + 1
-                keys = jax.vmap(
-                    lambda s, c: jax.random.fold_in(jax.random.PRNGKey(s), c)
-                )(seeds, tok_idx)
-                nxt = jax.vmap(jax.random.categorical)(keys, lg).astype(jnp.int32)
+            # index of the token being sampled for each slot (prefill = 0)
+            tok_idx = pos[:n] - cfg.cls_token_num + 1
+            nxt = self._sample(mixed, seeds, tok_idx)
             nxt2 = jnp.concatenate([nxt, nxt])
-            # only active slots advance
-            pos = jnp.where(active, pos + 1, pos)
-            cur = jnp.where(active, nxt2, cur)
+            # only active, not-yet-complete slots advance
+            alive = active & (pos < stop)
+            pos = jnp.where(alive, pos + 1, pos)
+            cur = jnp.where(alive, nxt2, cur)
             return (caches, pos, cur), nxt
 
         (caches, pos, cur), toks = jax.lax.scan(
-            step, (caches, pos, cur_tok), jnp.arange(n_steps)
+            step, (caches, pos, cur_tok), jnp.arange(self.scfg.quantum)
         )
-        return caches, pos, cur, toks  # toks: (n_steps, slots)
+        return caches, pos, cur, toks  # toks: (quantum, slots)
 
     def step(self):
-        """One scheduler iteration: admit -> decode quantum -> collect."""
+        """One scheduler iteration: group-admit -> fixed decode quantum ->
+        collect."""
         n = self.scfg.max_slots
-        # admit
-        for slot in range(n):
-            if not self.active[slot] and self.waiting:
-                self._admit(self.waiting.popleft(), slot)
+        free = [s for s in range(n) if not self.active[s]]
+        group, slots = [], []
+        while free and self.waiting:
+            group.append(self.waiting.popleft())
+            slots.append(free.pop(0))
+        if group:
+            self._admit_group(group, slots)
         if not self.active.any():
             return
-        # bound the quantum by the smallest remaining budget among active slots
-        remaining = np.array(
-            [self.cfg.block_size - self.emitted[s] if self.active[s] else 1 << 30
-             for s in range(n)]
-        )
-        q = int(min(self.scfg.quantum, remaining.min()))
         active2 = jnp.asarray(np.concatenate([self.active, self.active]))
         self.caches, self.pos, self.cur_tok, toks = self._quantum_jit(
-            q, self.caches, self.fused, self.pos, self.cur_tok,
+            self.caches, self.fused, self.pos, self.cur_tok,
             self.cfg_scales, self.strengths, active2, self.seeds, self.col_mask,
         )
-        toks = jax.device_get(toks)  # (q, slots)
+        toks = jax.device_get(toks)  # (quantum, slots)
+        q = self.scfg.quantum
         for s in range(n):
             if not self.active[s]:
                 continue

@@ -1,0 +1,95 @@
+"""Int8 weight-only quantization (quant.py): math bounds, fused-dot parity,
+and end-to-end decode through the quantized tree."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from controlar_tpu import quant
+from controlar_tpu.config import GPTConfig
+from controlar_tpu.models import gpt as jgpt
+from controlar_tpu import generate as jgen
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        dim=64, n_layer=2, n_head=4, vocab_size=128, block_size=16,
+        num_classes=10, cls_token_num=1, model_type="c2i",
+    )
+    base.update(kw)
+    return GPTConfig(**base)
+
+
+def test_quantize_roundtrip_error_bound():
+    w = jax.random.normal(jax.random.PRNGKey(0), (3, 32, 48)) * 0.05
+    qw = quant.quantize_weight(w)
+    assert qw["q"].dtype == jnp.int8
+    assert qw["s"].shape == (3, 1, 48)
+    # symmetric round-to-nearest: |err| <= s/2 per element
+    err = quant.quantization_error(w)
+    bound = np.asarray(qw["s"]) / 2 + 1e-8
+    assert np.all(np.asarray(err) <= bound)
+
+
+def test_wdot_matches_dequantized_matmul():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    x = (jax.random.normal(k1, (4, 32)) * 0.1).astype(jnp.bfloat16)
+    w = jax.random.normal(k2, (32, 48)) * 0.05
+    qw = quant.quantize_weight(w)
+    got = np.asarray(quant.wdot(x, qw), np.float32)
+    ref = np.asarray(
+        x.astype(jnp.float32) @ quant.dequantize_weight(qw, jnp.float32)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-3)
+
+
+def test_wdot_plain_passthrough():
+    x = jnp.ones((2, 8), jnp.bfloat16)
+    w = jnp.ones((8, 4), jnp.bfloat16)
+    np.testing.assert_array_equal(
+        np.asarray(quant.wdot(x, w)), np.asarray(x @ w)
+    )
+
+
+def test_quantize_gpt_params_structure():
+    cfg = tiny_cfg()
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    qp = quant.quantize_gpt_params(params)
+    for k in quant.LAYER_QUANT_KEYS:
+        assert quant.is_quantized(qp["layers"][k]), k
+        assert qp["layers"][k]["q"].shape == params["layers"][k].shape
+    assert quant.is_quantized(qp["output"])
+    # untouched leaves are the same arrays
+    assert qp["tok_embeddings"] is params["tok_embeddings"]
+    # keep= excludes
+    qp2 = quant.quantize_gpt_params(params, keep=("output", "wqkv"))
+    assert not quant.is_quantized(qp2["output"])
+    assert not quant.is_quantized(qp2["layers"]["wqkv"])
+    assert quant.is_quantized(qp2["layers"]["wo"])
+
+
+def test_quantized_decode_logits_close_and_generate_runs():
+    """Decode logits through the int8 tree stay close to bf16, and the full
+    generate() loop runs on the quantized tree (incl. unstack_layers)."""
+    cfg = tiny_cfg()
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(2), cfg, jnp.bfloat16)
+    qp = quant.quantize_gpt_params(params)
+
+    labels = jnp.arange(2)
+    toks = jgen.generate(
+        qp, cfg, labels=labels, max_new_tokens=cfg.block_size,
+        cfg_scale=2.0, top_k=0, sample_logits=False,
+        rng=jax.random.PRNGKey(0), use_flash=False,
+    )
+    assert toks.shape == (2, cfg.block_size)
+    assert np.asarray(toks).min() >= 0 and np.asarray(toks).max() < cfg.vocab_size
+
+    # logit fidelity at the first position: prefill through both trees
+    from controlar_tpu import decode as dec
+    prefix = jgpt.embed_prefix_c2i(params, labels).astype(jnp.bfloat16)
+    caches = dec.init_flat_caches(cfg, 2, cfg.max_seq_len)
+    lb, _ = dec.prefill_flat(params, cfg, caches, prefix, None, None)
+    lq, _ = dec.prefill_flat(qp, cfg, caches, prefix, None, None)
+    lb, lq = np.asarray(lb, np.float32), np.asarray(lq, np.float32)
+    scale = np.abs(lb).max() + 1e-6
+    assert np.abs(lb - lq).max() / scale < 0.08, np.abs(lb - lq).max() / scale
