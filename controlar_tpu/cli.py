@@ -189,7 +189,8 @@ def cmd_train_vq(args):
 
     from controlar_tpu.config import vq_config
     from controlar_tpu.models import vq as vq_model
-    from controlar_tpu.models.discriminators import init_patchgan_params
+    from controlar_tpu.models.discriminators import (
+        init_patchgan_params, init_stylegan_disc_params)
     from controlar_tpu.models.lpips import init_lpips_params
     from controlar_tpu.train.optimizer import make_optimizer
     from controlar_tpu.train.vq_step import init_vq_train_state, make_vq_train_step
@@ -199,7 +200,11 @@ def cmd_train_vq(args):
     vcfg = vq_config(args.vq_model)
     rng = jax.random.PRNGKey(args.seed)
     vq_params = vq_model.init_vq_params(rng, vcfg)
-    disc_params = init_patchgan_params(jax.random.fold_in(rng, 1))
+    if args.disc_type == "stylegan":
+        disc_params = init_stylegan_disc_params(
+            jax.random.fold_in(rng, 1), image_size=args.image_size)
+    else:
+        disc_params = init_patchgan_params(jax.random.fold_in(rng, 1))
     if args.lpips_vgg and args.lpips_lin:
         from controlar_tpu.convert.torch_lpips import convert_lpips_state_dicts
 
@@ -218,6 +223,9 @@ def cmd_train_vq(args):
     step = jax.jit(make_vq_train_step(
         vcfg, tx_g, tx_d, lp, disc_start=args.disc_start,
         ema_decay=0.9999 if args.ema else None,
+        disc_type=args.disc_type,
+        disc_adaptive_weight=args.disc_adaptive_weight,
+        disc_loss_type=args.disc_loss,
     ))
 
     files = [f for f in sorted(os.listdir(args.images))
@@ -451,6 +459,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--max-steps", type=int, default=100000)
     p.add_argument("--disc-start", type=int, default=20000)
+    p.add_argument("--disc-type", default="patchgan",
+                   choices=["patchgan", "stylegan"])
+    p.add_argument("--disc-loss", default="hinge",
+                   choices=["hinge", "vanilla", "non-saturating"])
+    p.add_argument("--disc-adaptive-weight", action="store_true",
+                   help="grad-norm-ratio adaptive disc weight (ref vq_loss.py)")
     p.add_argument("--lpips-vgg", default=None)
     p.add_argument("--lpips-lin", default=None)
     p.add_argument("--ema", action="store_true")

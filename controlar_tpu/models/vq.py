@@ -95,8 +95,11 @@ def encoder_forward(p: Params, cfg: VQConfig, x: jnp.ndarray) -> jnp.ndarray:
     return conv2d(h, p["conv_out"]["w"], p["conv_out"]["b"])
 
 
-def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
-    """(ref Decoder.forward: vq_model.py:174-195). z: (B,h,w,zc) -> (B,H,W,3)."""
+def decoder_trunk(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """Decoder up to (but excluding) the final conv_out — the VQ-GAN adaptive
+    discriminator weight needs gradients w.r.t. conv_out's weight alone
+    (ref vq_loss.py:109-115 `last_layer=decoder.last_layer`), so the trunk is
+    computed once and conv_out re-applied as a function of its weight."""
     n_levels = len(cfg.decoder_ch_mult)
     h = conv2d(z, p["conv_in"]["w"], p["conv_in"]["b"])
     h = resnet_block(p["mid"][0], h)
@@ -110,7 +113,12 @@ def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
         if i != n_levels - 1:
             h = upsample(level["upsample"], h)
     h = group_norm(h, p["norm_out"]["scale"], p["norm_out"]["bias"])
-    h = swish(h)
+    return swish(h)
+
+
+def decoder_forward(p: Params, cfg: VQConfig, z: jnp.ndarray) -> jnp.ndarray:
+    """(ref Decoder.forward: vq_model.py:174-195). z: (B,h,w,zc) -> (B,H,W,3)."""
+    h = decoder_trunk(p, cfg, z)
     return conv2d(h, p["conv_out"]["w"], p["conv_out"]["b"])
 
 

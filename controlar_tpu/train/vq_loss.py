@@ -96,6 +96,28 @@ def adopt_weight(weight, global_step, threshold: int = 0, value: float = 0.0):
 # Combined generator / discriminator objectives
 # ---------------------------------------------------------------------------
 
+def _disc_forward(disc_params, disc_type: str, x: jnp.ndarray) -> jnp.ndarray:
+    if disc_type == "stylegan":
+        from controlar_tpu.models.discriminators import stylegan_disc_forward as stylegan_forward
+
+        return stylegan_forward(disc_params, x)
+    return patchgan_forward(disc_params, x)
+
+
+def calculate_adaptive_weight(nll_of, gadv_of, w_last) -> jnp.ndarray:
+    """Adaptive discriminator weight (ref vq_loss.py:109-115): the ratio of
+    gradient norms of the NLL (rec + perceptual) and generator-adversarial
+    losses w.r.t. the decoder's LAST layer weight, clipped to [0, 1e4] and
+    detached. `nll_of`/`gadv_of` are scalar functions of that weight alone
+    (the decoder trunk is closed over, so each grad is one conv backward)."""
+    nll_g = jax.grad(nll_of)(w_last)
+    adv_g = jax.grad(gadv_of)(w_last)
+    d_weight = jnp.linalg.norm(nll_g.ravel()) / (
+        jnp.linalg.norm(adv_g.ravel()) + 1e-4
+    )
+    return jax.lax.stop_gradient(jnp.clip(d_weight, 0.0, 1e4))
+
+
 def generator_loss(
     vq_params,
     disc_params,
@@ -109,30 +131,57 @@ def generator_loss(
     perceptual_weight: float = 1.0,
     rec_loss_type: str = "l2",
     gen_adv_loss_type: str = "hinge",
+    disc_type: str = "patchgan",
+    disc_adaptive_weight: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    h = vq_model.encoder_forward(vq_params["encoder"], cfg, images)
     from controlar_tpu.ops.conv import conv2d
 
+    h = vq_model.encoder_forward(vq_params["encoder"], cfg, images)
     h = conv2d(h, vq_params["quant_conv"]["w"], vq_params["quant_conv"]["b"])
     z_q, indices, (vq_l, commit_l, ent_l) = quantize_with_losses(vq_params, cfg, h)
-    recon = vq_model.decode(vq_params, cfg, z_q)
 
-    if rec_loss_type == "l1":
-        rec = jnp.mean(jnp.abs(images - recon))
-    else:
-        rec = jnp.mean((images - recon) ** 2)
+    # decode through the trunk once; the final conv is a function of its
+    # weight so the adaptive weight can take per-loss grads at the last layer
+    zp = conv2d(z_q, vq_params["post_quant_conv"]["w"],
+                vq_params["post_quant_conv"]["b"])
+    trunk = vq_model.decoder_trunk(vq_params["decoder"], cfg, zp)
+    w_out = vq_params["decoder"]["conv_out"]["w"]
+    b_out = vq_params["decoder"]["conv_out"]["b"]
+
+    def recon_of(w):
+        return conv2d(trunk, w, b_out)
+
+    recon = recon_of(w_out)
+
+    def rec_fn(r):
+        if rec_loss_type == "l1":
+            return jnp.mean(jnp.abs(images - r))
+        return jnp.mean((images - r) ** 2)
+
+    gen_adv_fn = (hinge_gen_loss if gen_adv_loss_type == "hinge"
+                  else non_saturating_gen_loss)
+
+    rec = rec_fn(recon)
     p_loss = jnp.mean(lpips(lpips_params, images, recon))
+    gen_adv = gen_adv_fn(_disc_forward(disc_params, disc_type, recon))
 
-    logits_fake = patchgan_forward(disc_params, recon)
-    gen_adv = (hinge_gen_loss if gen_adv_loss_type == "hinge"
-               else non_saturating_gen_loss)(logits_fake)
+    if disc_adaptive_weight:
+        adaptive = calculate_adaptive_weight(
+            lambda w: rec_weight * rec_fn(recon_of(w))
+            + perceptual_weight * jnp.mean(lpips(lpips_params, images, recon_of(w))),
+            lambda w: gen_adv_fn(_disc_forward(disc_params, disc_type, recon_of(w))),
+            w_out,
+        )
+    else:
+        adaptive = jnp.asarray(1.0)
     dw = adopt_weight(disc_weight, global_step, disc_start)
 
-    loss = (rec_weight * rec + perceptual_weight * p_loss + dw * gen_adv
-            + vq_l + commit_l + ent_l)
+    loss = (rec_weight * rec + perceptual_weight * p_loss
+            + adaptive * dw * gen_adv + vq_l + commit_l + ent_l)
     metrics = {
         "rec_loss": rec, "perceptual_loss": p_loss, "vq_loss": vq_l,
         "commit_loss": commit_l, "gen_adv_loss": gen_adv,
+        "disc_adaptive_weight": adaptive,
     }
     return loss, (metrics, recon)
 
@@ -145,9 +194,12 @@ def discriminator_loss(
     disc_start: int,
     disc_weight: float = 0.5,
     disc_loss_type: str = "hinge",
+    disc_type: str = "patchgan",
 ) -> jnp.ndarray:
-    logits_real = patchgan_forward(disc_params, jax.lax.stop_gradient(images))
-    logits_fake = patchgan_forward(disc_params, jax.lax.stop_gradient(recon))
+    logits_real = _disc_forward(disc_params, disc_type,
+                                jax.lax.stop_gradient(images))
+    logits_fake = _disc_forward(disc_params, disc_type,
+                                jax.lax.stop_gradient(recon))
     fn = {"hinge": hinge_d_loss, "vanilla": vanilla_d_loss,
           "non-saturating": non_saturating_d_loss}[disc_loss_type]
     return adopt_weight(disc_weight, global_step, disc_start) * fn(

@@ -48,6 +48,9 @@ def make_vq_train_step(
     disc_weight: float = 0.5,
     rec_loss_type: str = "l2",
     ema_decay: Optional[float] = None,
+    disc_type: str = "patchgan",
+    disc_adaptive_weight: bool = False,
+    disc_loss_type: str = "hinge",
 ):
     def train_step(state: VQTrainState, images: jnp.ndarray):
         # generator update
@@ -55,7 +58,8 @@ def make_vq_train_step(
             return L.generator_loss(
                 vq_params, state.disc_params, lpips_params, cfg, images,
                 state.step, disc_start, disc_weight,
-                rec_loss_type=rec_loss_type,
+                rec_loss_type=rec_loss_type, disc_type=disc_type,
+                disc_adaptive_weight=disc_adaptive_weight,
             )
 
         (gl, (metrics, recon)), g_grads = jax.value_and_grad(g_loss, has_aux=True)(
@@ -67,7 +71,8 @@ def make_vq_train_step(
         # discriminator update
         def d_loss(disc_params):
             return L.discriminator_loss(
-                disc_params, images, recon, state.step, disc_start, disc_weight
+                disc_params, images, recon, state.step, disc_start,
+                disc_weight, disc_loss_type=disc_loss_type, disc_type=disc_type,
             )
 
         dl, d_grads = jax.value_and_grad(d_loss)(state.disc_params)

@@ -84,3 +84,91 @@ def test_vq_train_step_runs():
         recs.append(float(m["rec_loss"]))
         assert np.isfinite(list(m.values())).all()
     assert recs[-1] < recs[0]
+
+
+def test_adaptive_disc_weight_matches_direct_grads():
+    """calculate_adaptive_weight through the trunk split equals the grad-norm
+    ratio computed by differentiating the FULL decode path w.r.t. the last
+    decoder conv weight (the torch reference's autograd.grad semantics,
+    ref vq_loss.py:109-115), and it reacts to loss scaling as 1/s."""
+    from controlar_tpu.train import vq_loss as L
+    from controlar_tpu.ops.conv import conv2d
+
+    cfg = VQConfig(codebook_size=64, codebook_embed_dim=8, z_channels=16, ch=16)
+    rng = jax.random.PRNGKey(3)
+    vq_params = jvq.init_vq_params(rng, cfg)
+    disc_params = init_patchgan_params(rng, ndf=16)
+    lp = init_lpips_params(rng)
+    imgs = jnp.asarray(
+        np.random.default_rng(5).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+
+    # repo path: inside generator_loss with disc_adaptive_weight=True
+    _, (metrics, _) = L.generator_loss(
+        vq_params, disc_params, lp, cfg, imgs, jnp.asarray(10), disc_start=0,
+        disc_adaptive_weight=True,
+    )
+    got = float(metrics["disc_adaptive_weight"])
+
+    # direct check: differentiate the FULL decode w.r.t. conv_out weight only
+    z_q, _, _ = L.quantize_with_losses(
+        vq_params, cfg,
+        conv2d(jvq.encoder_forward(vq_params["encoder"], cfg, imgs),
+               vq_params["quant_conv"]["w"], vq_params["quant_conv"]["b"]),
+    )
+
+    def full_decode(w):
+        import copy
+        p2 = jax.tree.map(lambda a: a, vq_params)  # shallow-rebuild the tree
+        dec = dict(p2["decoder"])
+        dec["conv_out"] = dict(dec["conv_out"], w=w)
+        p2 = dict(p2, decoder=dec)
+        return jvq.decode(p2, cfg, z_q)
+
+    from controlar_tpu.models.lpips import lpips as lpips_fn
+    from controlar_tpu.models.discriminators import patchgan_forward
+
+    def nll(w):
+        r = full_decode(w)
+        return jnp.mean((imgs - r) ** 2) + jnp.mean(lpips_fn(lp, imgs, r))
+
+    def gadv(w):
+        return L.hinge_gen_loss(patchgan_forward(disc_params, full_decode(w)))
+
+    w0 = vq_params["decoder"]["conv_out"]["w"]
+    expect = float(
+        jnp.linalg.norm(jax.grad(nll)(w0).ravel())
+        / (jnp.linalg.norm(jax.grad(gadv)(w0).ravel()) + 1e-4)
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-4)
+
+    # scaling the adversarial logits scales the weight inversely; clip holds
+    w = L.calculate_adaptive_weight(lambda w: 2.0 * nll(w), gadv, w0)
+    np.testing.assert_allclose(float(w), 2 * expect, rtol=1e-4)
+    w = L.calculate_adaptive_weight(lambda w: 1e9 * nll(w), gadv, w0)
+    assert float(w) == 1e4  # clipped (ref clamp 0..1e4)
+
+
+def test_vq_train_step_stylegan_adaptive_runs():
+    """StyleGAN discriminator + adaptive weight through a jitted train step."""
+    from controlar_tpu.models.discriminators import init_stylegan_disc_params
+
+    cfg = VQConfig(codebook_size=64, codebook_embed_dim=8, z_channels=16, ch=16)
+    rng = jax.random.PRNGKey(0)
+    vq_params = jvq.init_vq_params(rng, cfg)
+    disc_params = init_stylegan_disc_params(rng, image_size=32)
+    lp = init_lpips_params(rng)
+    tx_g = make_optimizer(lr=1e-3)
+    tx_d = make_optimizer(lr=1e-3)
+    state = init_vq_train_state(vq_params, disc_params, tx_g, tx_d)
+    step = jax.jit(make_vq_train_step(
+        cfg, tx_g, tx_d, lp, disc_start=1, disc_weight=0.5,
+        disc_type="stylegan", disc_adaptive_weight=True,
+    ))
+    imgs = jnp.asarray(
+        np.random.default_rng(2).uniform(-1, 1, (2, 32, 32, 3)).astype(np.float32)
+    )
+    for _ in range(3):
+        state, m = step(state, imgs)
+        assert np.isfinite(list(m.values())).all()
+    assert float(m["disc_adaptive_weight"]) > 0
