@@ -24,6 +24,8 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--gpt-ckpt", default=None, help=".pt/.safetensors GPT weights")
     p.add_argument("--vq-ckpt", default=None, help="VQ tokenizer weights")
     p.add_argument("--adapter-ckpt", default=None, help="DINOv2/ViT weights dir or file")
+    p.add_argument("--midas-ckpt", default=None,
+                   help="MiDaS dpt_hybrid-midas-*.pt for depth conditioning")
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--downsample-size", type=int, default=16)
     p.add_argument("--condition-type", default="canny",
@@ -86,11 +88,20 @@ def _build_pipeline(args, model_type: str):
         print("[warn] no --adapter-ckpt: using random adapter weights", file=sys.stderr)
         adapter_params = vit_model.init_vit_params(rng, acfg)
 
+    midas_params = None
+    if getattr(args, "midas_ckpt", None):
+        from controlar_tpu.convert.torch_midas import load_midas_checkpoint
+
+        midas_params = jax.tree.map(
+            jnp.asarray, load_midas_checkpoint(args.midas_ckpt)
+        )
+
     return ControlARPipeline(
         gpt_cfg=gcfg, gpt_params=gpt_params,
         vq_cfg=vcfg, vq_params=vq_params,
         adapter_cfg=acfg, adapter_params=adapter_params,
         condition_type=args.condition_type,
+        midas_params=midas_params,
     )
 
 
@@ -123,6 +134,14 @@ def cmd_sample_c2i(args):
 
 
 def cmd_train_t2i(args):
+    from controlar_tpu.parallel import distributed
+
+    # multi-host rendezvous BEFORE any jax device use (TPU pods auto-detect;
+    # explicit flags cover DCN/loopback; no-op single host). Replaces the
+    # reference's env://-or-SLURM init (ref utils/distributed.py:20-47).
+    distributed.init(args.dist_coordinator, args.dist_num_processes,
+                     args.dist_process_id)
+
     from controlar_tpu.data.t2i_control import T2IControlCodeDataset, T2IControlConfig
     from controlar_tpu.data.loader import ShardedLoader
     from controlar_tpu.train.trainer import Trainer, TrainerConfig
@@ -441,6 +460,11 @@ def main(argv=None):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--dist-coordinator", default=None,
+                   help="multi-host coordinator address (host:port); "
+                        "auto-detected on TPU pods")
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train_t2i)
 
     p = sub.add_parser("sample-t2i")

@@ -48,6 +48,8 @@ class ControlARPipeline:
     lineart_params: Any = None
     dpt_params: Any = None
     dpt_cfg: Any = None
+    midas_params: Any = None  # MiDaS dpt_hybrid (the MR-checkpoint detector)
+    midas_cfg: Any = None
     depth_fn: Any = None  # optional override: (B,H,W,3) uint8 -> (B,H,W) 0..255
 
     # ------------------------------------------------------------------
@@ -67,6 +69,15 @@ class ControlARPipeline:
         elif ct == "depth":
             if self.depth_fn is not None:
                 cond = jnp.asarray(self.depth_fn(images_u8))
+            elif self.midas_params is not None:
+                # MR/depth checkpoints were trained against the MiDaS
+                # dpt_hybrid detector (ref sample_t2i_MR.py:133, depth.py):
+                # raw native-resolution image, min-max-normalized output
+                from controlar_tpu.models import midas as midas_model
+
+                cond = midas_model.midas_depth_condition(
+                    self.midas_params, self.midas_cfg or midas_model.MIDAS_HYBRID, x
+                )
             else:
                 assert self.dpt_params is not None, "depth estimator not configured"
                 from controlar_tpu.models import dpt as dpt_model

@@ -169,10 +169,23 @@ class Trainer:
         return state
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Host batch shard -> global device array. Single-process device_put
+        places onto the mesh; multi-host assembles each process's LOCAL shard
+        into the global array (the jax equivalent of the reference's
+        DistributedSampler + per-rank batches, ref utils/distributed.py)."""
+        if jax.process_count() > 1:
+            def put(v):
+                v = np.asarray(v)
+                global_shape = (v.shape[0] * jax.process_count(), *v.shape[1:])
+                return jax.make_array_from_process_local_data(
+                    self.bspec, v, global_shape
+                )
+        else:
+            def put(v):
+                return jax.device_put(v, self.bspec)
+
         return {
-            k: jax.device_put(v, self.bspec)
-            for k, v in batch.items()
-            if not isinstance(v, list)
+            k: put(v) for k, v in batch.items() if not isinstance(v, list)
         }
 
     def fit(self, loader, state=None, max_steps: Optional[int] = None):
