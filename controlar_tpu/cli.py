@@ -373,6 +373,38 @@ def cmd_verify_zoo(args):
         sys.exit(1)
 
 
+def cmd_eval_miou(args):
+    """Segmentation-consistency mIoU between generated images and ground-
+    truth label maps (ref evaluations/ade20k_mIoU.py / cocostuff_mIoU.py),
+    scored by a local transformers reward model (Mask2Former / SegFormer)."""
+    from PIL import Image
+
+    from controlar_tpu.eval.miou import miou_eval
+    from controlar_tpu.eval.segmenter import make_segmenter
+
+    seg = make_segmenter(args.segmenter, device=args.device,
+                         label_offset=args.label_offset)
+    img_fns = sorted(f for f in os.listdir(args.images) if f.endswith(".png"))
+
+    def pairs():
+        for i in range(0, len(img_fns), args.batch_size):
+            chunk = img_fns[i : i + args.batch_size]
+            imgs = np.stack([
+                np.asarray(Image.open(os.path.join(args.images, f)).convert("RGB"))
+                for f in chunk
+            ])
+            anns = np.stack([
+                np.asarray(Image.open(os.path.join(args.annotations, f)))
+                for f in chunk
+            ])
+            yield imgs, anns
+
+    score = miou_eval(pairs=pairs(), segmenter=seg,
+                      num_classes=args.num_classes,
+                      ignore_index=args.ignore_index)
+    print(json.dumps({"miou": round(score, 5), "images": len(img_fns)}))
+
+
 def cmd_eval_c2i(args):
     """FID / sFID / IS / Precision / Recall between two npz image batches
     (the reference's evaluations/c2i/evaluator.py protocol, all 5 metrics)."""
@@ -527,6 +559,19 @@ def main(argv=None):
     p.add_argument("--self-test", action="store_true",
                    help="run the gate on a tiny random reference checkpoint")
     p.set_defaults(fn=cmd_verify_zoo)
+
+    p = sub.add_parser("eval-miou")
+    p.add_argument("--images", required=True, help="generated images dir")
+    p.add_argument("--annotations", required=True, help="gt label maps dir")
+    p.add_argument("--segmenter", required=True,
+                   help="local transformers seg checkpoint dir "
+                        "(e.g. mask2former-swin-large-ade-semantic)")
+    p.add_argument("--num-classes", type=int, default=150)
+    p.add_argument("--ignore-index", type=int, default=0)
+    p.add_argument("--label-offset", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--device", default="cpu")
+    p.set_defaults(fn=cmd_eval_miou)
 
     p = sub.add_parser("eval-c2i")
     p.add_argument("ref_batch", help="reference npz (arr_0 NHWC uint8, or mu/sigma stats)")

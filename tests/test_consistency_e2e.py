@@ -1,0 +1,74 @@
+"""Conditional-consistency eval driven END TO END (VERDICT r1 item 10):
+generate with a tiny random-weight pipeline, re-extract the control map from
+the generated images, score F1/SSIM/RMSE through eval/consistency.py — the
+full ref test_c2i.py:203-231 protocol, not just the metric math."""
+import numpy as np
+import pytest
+
+import jax
+
+from controlar_tpu.config import GPTConfig, VQConfig
+from controlar_tpu.models import gpt as jgpt
+from controlar_tpu.models import vq as jvq
+from controlar_tpu.models import vit as jvit
+from controlar_tpu.pipeline import ControlARPipeline
+from controlar_tpu.eval.consistency import consistency_eval
+
+
+@pytest.fixture(scope="module")
+def tiny_pipe():
+    rng = jax.random.PRNGKey(0)
+    img = 64
+    gpt_cfg = GPTConfig(
+        model_type="c2i", dim=64, n_layer=6, n_head=2, cls_token_num=1,
+        block_size=(img // 16) ** 2, vocab_size=128, num_classes=10,
+        adapter_size="small",
+    )
+    vq_cfg = VQConfig(codebook_size=128, codebook_embed_dim=8, z_channels=16, ch=16)
+    ad_cfg = jvit.ViTConfig(hidden_size=384, n_layer=2, n_head=2, patch_size=14,
+                            pos_grid=4, layerscale=True)
+    return ControlARPipeline(
+        gpt_cfg=gpt_cfg,
+        gpt_params=jgpt.init_gpt_params(rng, gpt_cfg),
+        vq_cfg=vq_cfg,
+        vq_params=jvq.init_vq_params(rng, vq_cfg),
+        adapter_cfg=ad_cfg,
+        adapter_params=jvit.init_vit_params(rng, ad_cfg),
+        condition_type="canny",
+    )
+
+
+def test_canny_consistency_end_to_end(tiny_pipe):
+    nprng = np.random.default_rng(1)
+    batches = [
+        {
+            "condition_images": nprng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+            .astype(np.uint8),
+            "labels": np.array([1, 4]),
+        }
+        for _ in range(2)
+    ]
+    f1 = consistency_eval(tiny_pipe, batches, "canny", cfg_scale=2.0,
+                          top_k=20, seed=0)
+    # random weights: the score is meaningless in value but must be a valid
+    # F1 in [0, 1] computed over generated images (4 images, 2 batches)
+    assert 0.0 <= f1 <= 1.0
+    assert np.isfinite(f1)
+
+
+def test_depth_consistency_uses_depth_fn(tiny_pipe):
+    import dataclasses
+
+    pipe = dataclasses.replace(
+        tiny_pipe, condition_type="depth",
+        depth_fn=lambda imgs: np.asarray(imgs, np.float32).mean(-1),
+    )
+    nprng = np.random.default_rng(2)
+    batches = [{
+        "condition_images": nprng.integers(0, 255, (2, 64, 64, 3), np.uint8)
+        .astype(np.uint8),
+        "labels": np.array([0, 9]),
+    }]
+    rmse = consistency_eval(pipe, batches, "depth", cfg_scale=2.0, top_k=20,
+                            seed=3, depth_fn=pipe.depth_fn)
+    assert np.isfinite(rmse) and rmse >= 0.0
