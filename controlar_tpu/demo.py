@@ -1,15 +1,87 @@
-"""Gradio demo (ref demo/app.py + demo/model.py: Canny/Depth tabs over a
-shared pipeline). Gated on gradio availability; the CLI is the primary UI.
+"""Gradio demo (ref demo/app.py + demo/model.py): edge/depth control tabs
+over a shared pipeline, per-condition GPT checkpoint hot-swap
+(ref demo/model.py:66-75 load_gpt_weight), c2i class names or t2i prompts,
+full sampling controls. Gated on gradio availability; the CLI remains the
+primary UI and `DemoEngine` is importable/testable without gradio.
 
-Run: python -m controlar_tpu.demo --gpt-ckpt ... --vq-ckpt ...
+Run: python -m controlar_tpu.demo --gpt-ckpt ... --vq-ckpt ... \
+         [--ckpt-map canny=edge.safetensors,depth=depth.safetensors] \
+         [--t5-path /path/flan-t5-xl]
 """
 from __future__ import annotations
+
+from typing import Dict, Optional
 
 import numpy as np
 
 
-def build_demo(pipe_factory):
-    """pipe_factory(condition_type) -> ControlARPipeline."""
+class DemoEngine:
+    """Pipeline cache + per-condition checkpoint hot-swap + one process()."""
+
+    def __init__(self, pipe_factory, ckpt_map: Optional[Dict[str, str]] = None,
+                 t5=None):
+        self._factory = pipe_factory
+        self._ckpt_map = ckpt_map or {}
+        self._pipes: Dict[str, object] = {}
+        self._t5 = t5
+
+    def get_pipe(self, condition_type: str):
+        if condition_type not in self._pipes:
+            pipe = self._factory(condition_type)
+            # hot-swap the GPT weights for this condition (the reference
+            # reloads a safetensors file into the live model,
+            # demo/model.py:66-75; pipelines are immutable here so the swap
+            # happens at construction via the converter)
+            ckpt = self._ckpt_map.get(condition_type)
+            if ckpt:
+                import dataclasses
+
+                import jax
+                import jax.numpy as jnp
+
+                from controlar_tpu import checkpoint as ckpt_lib
+
+                gpt_params = jax.tree.map(
+                    jnp.asarray,
+                    ckpt_lib.load_gpt_checkpoint(ckpt, pipe.gpt_cfg),
+                )
+                pipe = dataclasses.replace(pipe, gpt_params=gpt_params)
+            self._pipes[condition_type] = pipe
+        return self._pipes[condition_type]
+
+    def process(self, image: np.ndarray, condition_type: str,
+                prompt: str = "", label: str = "0",
+                cfg_scale: float = 4.0, temperature: float = 1.0,
+                top_k: int = 2000, top_p: float = 1.0,
+                control_strength: float = 1.0, seed: int = 0) -> np.ndarray:
+        from PIL import Image
+
+        pipe = self.get_pipe(condition_type)
+        gh, gw = pipe.gpt_cfg.grid
+        img = np.asarray(
+            Image.fromarray(np.asarray(image, np.uint8)).convert("RGB")
+            .resize((gw * 16, gh * 16))
+        )[None]
+        kw = dict(
+            condition_images=img, cfg_scale=float(cfg_scale),
+            temperature=float(temperature), top_k=int(top_k),
+            top_p=float(top_p), control_strength=float(control_strength),
+            seed=int(seed),
+        )
+        if pipe.gpt_cfg.model_type == "t2i":
+            if self._t5 is None:
+                raise ValueError("t2i demo needs --t5-path")
+            caption_emb, emb_masks = self._t5.get_text_embeddings([prompt])
+            out = pipe.generate(caption_emb=caption_emb, emb_masks=emb_masks,
+                                **kw)
+        else:
+            from controlar_tpu.data.imagenet_labels import lookup_class
+
+            out = pipe.generate(labels=np.asarray([lookup_class(label)]), **kw)
+        return out[0]
+
+
+def build_demo(engine: DemoEngine, model_type: str = "c2i"):
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -18,40 +90,40 @@ def build_demo(pipe_factory):
             "(python -m controlar_tpu.cli sample-c2i / sample-t2i)"
         ) from e
 
-    pipes = {}
-
-    def get_pipe(ct):
-        if ct not in pipes:
-            pipes[ct] = pipe_factory(ct)
-        return pipes[ct]
-
-    def process(image, condition_type, cfg_scale, control_strength, seed):
-        pipe = get_pipe(condition_type)
-        size = pipe.gpt_cfg.grid[0] * 16
-        from PIL import Image
-
-        img = np.asarray(
-            Image.fromarray(image).convert("RGB").resize((size, size))
-        )[None]
-        out = pipe.generate(
-            labels=np.asarray([0]), condition_images=img,
-            cfg_scale=float(cfg_scale), control_strength=float(control_strength),
-            seed=int(seed),
-        )
-        return out[0]
+    conditions = ["canny", "depth", "hed", "lineart"]
 
     with gr.Blocks(title="ControlAR-TPU") as demo:
         gr.Markdown("# ControlAR-TPU — controllable AR image generation")
         with gr.Row():
             inp = gr.Image(label="condition image")
             out = gr.Image(label="generated")
-        ct = gr.Radio(["canny", "depth", "hed", "lineart"], value="canny",
-                      label="condition")
-        cfg = gr.Slider(1.0, 10.0, value=4.0, label="CFG scale")
-        strength = gr.Slider(0.0, 2.0, value=1.0, label="control strength")
-        seed = gr.Number(value=0, label="seed")
+        ct = gr.Radio(conditions, value="canny", label="condition")
+        if model_type == "t2i":
+            text = gr.Textbox(label="prompt", value="a high-quality image")
+        else:
+            text = gr.Textbox(label="ImageNet class (id or name)", value="207")
+        with gr.Row():
+            cfg = gr.Slider(1.0, 16.0, value=4.0, label="CFG scale")
+            strength = gr.Slider(0.0, 2.0, value=1.0, label="control strength")
+        with gr.Row():
+            temperature = gr.Slider(0.1, 2.0, value=1.0, label="temperature")
+            top_k = gr.Slider(0, 16384, value=2000, step=1, label="top-k")
+            top_p = gr.Slider(0.0, 1.0, value=1.0, label="top-p")
+            seed = gr.Number(value=0, label="seed")
         btn = gr.Button("Generate")
-        btn.click(process, [inp, ct, cfg, strength, seed], out)
+
+        def run(image, condition_type, text_val, cfg_scale, control_strength,
+                temp, tk, tp, sd):
+            kw = dict(cfg_scale=cfg_scale, control_strength=control_strength,
+                      temperature=temp, top_k=tk, top_p=tp, seed=sd)
+            if model_type == "t2i":
+                kw["prompt"] = text_val
+            else:
+                kw["label"] = text_val
+            return engine.process(image, condition_type, **kw)
+
+        btn.click(run, [inp, ct, text, cfg, strength, temperature, top_k,
+                        top_p, seed], out)
     return demo
 
 
@@ -62,13 +134,32 @@ def main():
 
     parser = argparse.ArgumentParser()
     _cli._add_model_args(parser)
+    parser.add_argument("--model-type", default="c2i", choices=["c2i", "t2i"])
+    parser.add_argument("--t5-path", default=None)
+    parser.add_argument("--ckpt-map", default=None,
+                        help="per-condition GPT ckpts: canny=a.pt,depth=b.pt")
     args = parser.parse_args()
+
+    ckpt_map = {}
+    if args.ckpt_map:
+        for part in args.ckpt_map.split(","):
+            k, v = part.split("=", 1)
+            ckpt_map[k.strip()] = v.strip()
+
+    t5 = None
+    if args.model_type == "t2i":
+        from controlar_tpu.text.embedder import T5Embedder
+
+        if not args.t5_path:
+            raise SystemExit("--t5-path is required for the t2i demo")
+        t5 = T5Embedder.from_pretrained(args.t5_path)
 
     def factory(ct):
         args.condition_type = ct
-        return _cli._build_pipeline(args, "c2i")
+        return _cli._build_pipeline(args, args.model_type)
 
-    build_demo(factory).launch()
+    engine = DemoEngine(factory, ckpt_map=ckpt_map, t5=t5)
+    build_demo(engine, args.model_type).launch()
 
 
 if __name__ == "__main__":

@@ -67,6 +67,10 @@ class TrainerConfig:
     profile_dir: Optional[str] = None
     profile_start_step: int = 10
     profile_num_steps: int = 5
+    # experiment tracking: wandb when available + always a metrics.jsonl
+    # (replaces the reference's wandb logging, ref train_c2i_fsdp.py:148-154)
+    wandb_project: Optional[str] = None
+    wandb_run_name: Optional[str] = None
     gpt_ckpt: Optional[str] = None       # init weights (LlamaGen base)
     resume_dir: Optional[str] = None
     seed: int = 0
@@ -126,12 +130,38 @@ class Trainer:
         self.bspec = NamedSharding(self.mesh, batch_spec())
         os.makedirs(cfg.results_dir, exist_ok=True)
         self._log_file = open(os.path.join(cfg.results_dir, "log.txt"), "a")
+        self._metrics_file = open(
+            os.path.join(cfg.results_dir, "metrics.jsonl"), "a"
+        )
+        self._wandb = None
+        if cfg.wandb_project and jax.process_index() == 0:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(
+                    project=cfg.wandb_project, name=cfg.wandb_run_name,
+                    config=dataclasses.asdict(cfg), resume="allow",
+                )
+            except ImportError:
+                self.log("[warn] wandb_project set but wandb is not installed")
 
     def log(self, msg: str):
         if jax.process_index() == 0:
             print(msg, flush=True)
             self._log_file.write(msg + "\n")
             self._log_file.flush()
+
+    def log_metrics(self, step: int, record: Dict[str, Any]):
+        """Structured metrics: one JSON line per log window (always) and a
+        wandb point when configured — rank 0 only."""
+        if jax.process_index() != 0:
+            return
+        import json
+
+        self._metrics_file.write(json.dumps({"step": step, **record}) + "\n")
+        self._metrics_file.flush()
+        if self._wandb is not None:
+            self._wandb.log(record, step=step)
 
     def init_state(self):
         cfg = self.cfg
@@ -231,6 +261,11 @@ class Trainer:
                             f"step={step:07d} epoch={epoch} loss={losses:.4f} "
                             f"steps/sec={sps:.2f} imgs/sec/chip={ips_chip:.2f}"
                         )
+                        self.log_metrics(step, {
+                            "epoch": epoch, "loss": float(losses),
+                            "steps_per_sec": round(sps, 4),
+                            "imgs_per_sec_chip": round(ips_chip, 4),
+                        })
                         running, t0 = [], time.time()
                     if step % cfg.ckpt_every == 0:
                         # saving sharded arrays is a collective — ALL processes

@@ -75,3 +75,30 @@ def test_reconstruction_eval(tmp_path):
 
     assert os.path.exists(tmp_path / "samples.npz")
     assert len(os.listdir(tmp_path / "recon")) == 2
+
+
+def test_hub_folder_round_trip(tmp_path):
+    """save_hub_folder/load_hub_folder: flat safetensors + config survive a
+    round trip including list-valued subtrees (the hub-push surface,
+    ref vq_model_hf.py:1-5)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from controlar_tpu.tools import load_hub_folder, save_hub_folder
+
+    params = {
+        "a": jnp.arange(6.0).reshape(2, 3),
+        "layers": [
+            {"w": jnp.ones((2, 2))}, {"w": jnp.zeros((2, 2))},
+        ],
+        "nested": {"b": jnp.asarray([1, 2, 3])},
+    }
+    out = save_hub_folder(params, {"size": "GPT-TEST", "n": 2}, str(tmp_path / "hub"))
+    import os
+    assert os.path.exists(os.path.join(out, "params.safetensors"))
+    back, cfg = load_hub_folder(out)
+    assert cfg == {"size": "GPT-TEST", "n": 2}
+    np.testing.assert_array_equal(back["a"], np.asarray(params["a"]))
+    assert isinstance(back["layers"], list) and len(back["layers"]) == 2
+    np.testing.assert_array_equal(back["layers"][1]["w"], 0)
+    np.testing.assert_array_equal(back["nested"]["b"], [1, 2, 3])
