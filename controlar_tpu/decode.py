@@ -29,7 +29,11 @@ from controlar_tpu.models.gpt import (
     make_rope_table,
 )
 from controlar_tpu.ops.cache_append import cache_append_rows
-from controlar_tpu.ops.flash_decode2 import flash_decode_attention2 as flash_decode_attention
+from controlar_tpu.ops.flash_decode2 import (
+    flash_decode_attention2 as flash_decode_attention,
+    flash_decode_attention2_q8,
+)
+from controlar_tpu.quant import dequantize_kv_slab, quantize_kv_rows
 from controlar_tpu.ops.norms import rms_norm
 from controlar_tpu.quant import wdot
 
@@ -41,8 +45,38 @@ Caches = Tuple[jnp.ndarray, ...]
 def init_flat_caches(
     cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
 ) -> Caches:
+    """dtype=jnp.int8 selects the quantized cache: per-layer
+    {'kv': int8 rows, 's': (B, S, 2*H) f32 per-head scales} — halves the
+    dominant decode HBM read; attention runs flash_decode_attention2_q8."""
     shape = (batch, max_seq, 2 * cfg.kv_heads * cfg.head_dim)
+    if dtype == jnp.int8:
+        # scale lanes padded to 128 (Mosaic DMA tiling requirement)
+        sshape = (batch, max_seq, scale_pad(cfg.kv_heads))
+        return tuple(
+            {"kv": jnp.zeros(shape, jnp.int8), "s": jnp.zeros(sshape, jnp.float32)}
+            for _ in range(cfg.n_layer)
+        )
     return tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
+
+
+def scale_pad(kv_heads: int) -> int:
+    return max(128, ((2 * kv_heads + 127) // 128) * 128)
+
+
+def _pad_scales(s_rows: jnp.ndarray, kv_heads: int) -> jnp.ndarray:
+    pad = scale_pad(kv_heads) - 2 * kv_heads
+    widths = [(0, 0)] * (s_rows.ndim - 1) + [(0, pad)]
+    return jnp.pad(s_rows, widths)
+
+
+def is_quantized_cache(caches_or_layer) -> bool:
+    c = caches_or_layer[0] if isinstance(caches_or_layer, tuple) else caches_or_layer
+    return isinstance(c, dict)
+
+
+def cache_seq_len(caches: Caches) -> int:
+    c0 = caches[0]
+    return (c0["kv"] if isinstance(c0, dict) else c0).shape[1]
 
 
 _UNSTACK_CACHE: Dict[int, Any] = {}
@@ -127,8 +161,18 @@ def prefill_flat(
         q, k, v = _qkv(lp, cfg, x, rope)
         kv_rows = jnp.concatenate(
             [k.reshape(b, t, hd), v.reshape(b, t, hd)], axis=-1
-        ).astype(kvs[l].dtype)
-        kvs[l] = jax.lax.dynamic_update_slice(kvs[l], kv_rows, (0, 0, 0))
+        )
+        if isinstance(kvs[l], dict):
+            q_rows, s_rows = quantize_kv_rows(kv_rows, cfg.kv_heads)
+            s_rows = _pad_scales(s_rows, cfg.kv_heads)
+            kvs[l] = {
+                "kv": jax.lax.dynamic_update_slice(kvs[l]["kv"], q_rows, (0, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_rows, (0, 0, 0)),
+            }
+        else:
+            kvs[l] = jax.lax.dynamic_update_slice(
+                kvs[l], kv_rows.astype(kvs[l].dtype), (0, 0, 0)
+            )
         scores = jnp.einsum("bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32)
         scores = scores * (1.0 / np.sqrt(cfg.head_dim))
         scores = jnp.where(mask, scores, -jnp.inf)
@@ -165,7 +209,7 @@ def decode_step_multi(
     rope = make_rope_table(cfg)[pos][:, None]  # (B, 1, D/2, 2)
     fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
 
-    s_max = caches[0].shape[1]
+    s_max = cache_seq_len(caches)
     col_bias = None
     if use_flash:
         if col_mask_full is not None:
@@ -177,9 +221,20 @@ def decode_step_multi(
             mask = mask & col_mask_full[:, None, None, :]
 
     def write_row(cache, row, p):
+        # Pallas RMW append under flash: XLA's vmapped DUS lowers to a
+        # scatter that is catastrophically slow on TPU
+        if isinstance(cache, dict):
+            q_row, s_row = quantize_kv_rows(row[:, 0], cfg.kv_heads)
+            s_row = _pad_scales(s_row, cfg.kv_heads)
+            if use_flash:
+                return {"kv": cache_append_rows(cache["kv"], q_row, p),
+                        "s": cache_append_rows(cache["s"], s_row, p)}
+            vdus = jax.vmap(
+                lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
+            )
+            return {"kv": vdus(cache["kv"], q_row[:, None], p),
+                    "s": vdus(cache["s"], s_row[:, None], p)}
         if use_flash:
-            # Pallas RMW append: XLA's vmapped DUS lowers to a scatter that
-            # is catastrophically slow on TPU
             return cache_append_rows(cache, row[:, 0], p)
         return jax.vmap(
             lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
@@ -197,15 +252,26 @@ def decode_step_multi(
         q, k, v = _qkv(lp, cfg, x, rope)
         kv_row = jnp.concatenate(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
-        ).astype(kvs[l].dtype)
+        )
+        if not isinstance(kvs[l], dict):
+            kv_row = kv_row.astype(kvs[l].dtype)
         kvs[l] = write_row(kvs[l], kv_row, pos)
         if use_flash:
-            attn = flash_decode_attention(
-                q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
-            ).astype(h.dtype)[:, None, :]
+            if isinstance(kvs[l], dict):
+                attn = flash_decode_attention2_q8(
+                    q.reshape(b, hd), kvs[l]["kv"], kvs[l]["s"], pos, col_bias,
+                    n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+            else:
+                attn = flash_decode_attention(
+                    q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
+                ).astype(h.dtype)[:, None, :]
         else:
-            kl = kvs[l][:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
-            vl = kvs[l][:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"], cfg.kv_heads,
+                                       h.dtype)
+                    if isinstance(kvs[l], dict) else kvs[l])
+            kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
             ) * (1.0 / np.sqrt(cfg.head_dim))
@@ -240,7 +306,7 @@ def decode_step_flat(
     rope = jax.lax.dynamic_slice_in_dim(make_rope_table(cfg), pos, 1, axis=0)
     fuse_pos = pos - cfg.cls_token_num + 1
 
-    s_max = caches[0].shape[1]
+    s_max = cache_seq_len(caches)
     col_bias = None
     if use_flash:
         if col_mask_full is not None:
@@ -262,15 +328,34 @@ def decode_step_flat(
         q, k, v = _qkv(lp, cfg, x, rope)  # (B, 1, H, D)
         kv_row = jnp.concatenate(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
-        ).astype(kvs[l].dtype)
-        kvs[l] = jax.lax.dynamic_update_slice(kvs[l], kv_row, (0, pos, 0))
-        if use_flash:
-            attn = flash_decode_attention(
-                q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
-            ).astype(h.dtype)[:, None, :]
+        )
+        if isinstance(kvs[l], dict):
+            q_row, s_row = quantize_kv_rows(kv_row, cfg.kv_heads)
+            s_row = _pad_scales(s_row, cfg.kv_heads)
+            kvs[l] = {
+                "kv": jax.lax.dynamic_update_slice(kvs[l]["kv"], q_row, (0, pos, 0)),
+                "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_row, (0, pos, 0)),
+            }
         else:
-            kl = kvs[l][:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
-            vl = kvs[l][:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            kvs[l] = jax.lax.dynamic_update_slice(
+                kvs[l], kv_row.astype(kvs[l].dtype), (0, pos, 0)
+            )
+        if use_flash:
+            if isinstance(kvs[l], dict):
+                attn = flash_decode_attention2_q8(
+                    q.reshape(b, hd), kvs[l]["kv"], kvs[l]["s"], pos, col_bias,
+                    n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+            else:
+                attn = flash_decode_attention(
+                    q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
+                ).astype(h.dtype)[:, None, :]
+        else:
+            slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"], cfg.kv_heads,
+                                       h.dtype)
+                    if isinstance(kvs[l], dict) else kvs[l])
+            kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             scores = jnp.einsum(
                 "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
             ) * (1.0 / np.sqrt(cfg.head_dim))

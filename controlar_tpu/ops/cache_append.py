@@ -21,22 +21,28 @@ from jax.experimental.pallas import tpu as pltpu
 WINDOW = 8
 
 
-def _kernel(pos_ref, row_ref, cache_hbm, cache_out, buf, sem):
+def _window_for(dtype) -> int:
+    # the RMW window must cover the dtype's native sublane tile
+    # (int8 tiles are (32, 128); fp32/bf16 fit in 8)
+    return 32 if jnp.dtype(dtype).itemsize == 1 else WINDOW
+
+
+def _kernel(pos_ref, row_ref, cache_hbm, cache_out, buf, sem, *, window):
     b = pl.program_id(0)
     pos = pos_ref[b]
-    aligned = pl.multiple_of((pos // WINDOW) * WINDOW, WINDOW)
+    aligned = pl.multiple_of((pos // window) * window, window)
     r = pos - aligned
 
     rd = pltpu.make_async_copy(
-        cache_hbm.at[b, pl.ds(aligned, WINDOW), :], buf, sem
+        cache_hbm.at[b, pl.ds(aligned, window), :], buf, sem
     )
     rd.start()
     rd.wait()
     hd = buf.shape[-1]
-    sel = jax.lax.broadcasted_iota(jnp.int32, (WINDOW, hd), 0) == r
+    sel = jax.lax.broadcasted_iota(jnp.int32, (window, hd), 0) == r
     buf[:] = jnp.where(sel, row_ref[0], buf[:])
     wr = pltpu.make_async_copy(
-        buf, cache_out.at[b, pl.ds(aligned, WINDOW), :], sem
+        buf, cache_out.at[b, pl.ds(aligned, window), :], sem
     )
     wr.start()
     wr.wait()
@@ -49,9 +55,12 @@ def cache_append_rows(
     pos: jnp.ndarray,    # (B,) int32
 ) -> jnp.ndarray:
     """cache[b, pos[b]] = rows[b], in place (aliased)."""
+    import functools
+
     b, s, hd = cache.shape
+    window = _window_for(cache.dtype)
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, window=window),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b,),
@@ -62,7 +71,7 @@ def cache_append_rows(
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
             scratch_shapes=[
-                pltpu.VMEM((WINDOW, hd), cache.dtype),
+                pltpu.VMEM((window, hd), cache.dtype),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),

@@ -100,3 +100,28 @@ def quantization_error(w: jnp.ndarray) -> jnp.ndarray:
     qw = quantize_weight(w)
     back = dequantize_weight(qw, jnp.float32)
     return jnp.abs(w.astype(jnp.float32) - back)
+
+
+def quantize_kv_rows(kv_rows: jnp.ndarray, n_head: int):
+    """Interleaved [k|v] cache rows (..., 2*H*D) -> per-head symmetric int8
+    plus scales (..., 2*H) f32 (layout [k_scales | v_scales], matching the
+    flash_decode_attention2_q8 scale stream)."""
+    *lead, hd2 = kv_rows.shape
+    h2 = 2 * n_head
+    d = hd2 // h2
+    kv = kv_rows.astype(jnp.float32).reshape(*lead, h2, d)
+    amax = jnp.max(jnp.abs(kv), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(kv / s[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(*lead, hd2), s
+
+
+def dequantize_kv_slab(kv_q: jnp.ndarray, s: jnp.ndarray, n_head: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """(B,S,2*H*D) int8 + (B,S,>=2*H) f32 (possibly lane-padded)
+    -> (B,S,2*H*D) dtype."""
+    b, t, hd2 = kv_q.shape
+    h2 = 2 * n_head
+    d = hd2 // h2
+    kv = kv_q.astype(jnp.float32).reshape(b, t, h2, d) * s[..., :h2, None]
+    return kv.reshape(b, t, hd2).astype(dtype)

@@ -177,7 +177,14 @@ class ServeEngine:
             self.params, cfg, small, prefix.astype(jnp.bfloat16),
             fused3_req, col_req,
         )
-        caches = tuple(kv.at[rows].set(skv) for kv, skv in zip(caches, small))
+
+        def scatter(kv, skv):
+            if isinstance(kv, dict):  # int8 cache: kv rows + scale stream
+                return {"kv": kv["kv"].at[rows].set(skv["kv"]),
+                        "s": kv["s"].at[rows].set(skv["s"])}
+            return kv.at[rows].set(skv)
+
+        caches = tuple(scatter(kv, skv) for kv, skv in zip(caches, small))
         fused = fused.at[:, rows].set(fused3_req.astype(fused.dtype))
         col_full = jnp.ones((2 * k, self.s_max), bool)
         col_full = col_full.at[:, : cfg.cls_token_num].set(col_req)

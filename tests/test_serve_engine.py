@@ -51,3 +51,28 @@ def test_engine_matches_offline_greedy():
         assert r.request_id == i
         assert r.tokens.shape == (CFG.block_size,)
         np.testing.assert_array_equal(r.tokens, offline[i])
+
+
+def test_engine_int8_cache_matches_offline_int8():
+    """Continuous batching over the quantized KV cache: greedy tokens equal
+    the offline generate() loop run with the same cache_dtype=int8."""
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(3)
+    labels = rng.integers(0, 10, 3)
+    offline = []
+    for i in range(3):
+        toks = jgen.generate(
+            params, CFG, labels=jnp.asarray(labels[i: i + 1]),
+            max_new_tokens=CFG.block_size, cfg_scale=2.0, sample_logits=False,
+            use_flash=False, cache_dtype=jnp.int8,
+        )
+        offline.append(np.asarray(toks)[0])
+    eng = ServeEngine(
+        params, CFG,
+        ServeConfig(max_slots=2, quantum=5, greedy=True, top_k=0,
+                    cache_dtype=jnp.int8, use_flash=False),
+    )
+    done = eng.run([Request(request_id=i, label=int(labels[i]), cfg_scale=2.0)
+                    for i in range(3)])
+    for i, r in enumerate(done):
+        np.testing.assert_array_equal(r.tokens, offline[i])
