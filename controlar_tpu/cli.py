@@ -405,6 +405,29 @@ def cmd_eval_miou(args):
     print(json.dumps({"miou": round(score, 5), "images": len(img_fns)}))
 
 
+def cmd_eval_t2i(args):
+    """t2i CLIP score over a generated-images dir + prompts file (the
+    reference's GigaGAN-protocol eval, evaluations/t2i/evaluation.py:130-178).
+    clean-FID remains available via eval/t2i_eval.clean_fid when the
+    cleanfid package is installed."""
+    from PIL import Image
+
+    from controlar_tpu.eval.t2i_eval import clip_score
+
+    prompts = [line.strip() for line in open(args.prompts) if line.strip()]
+    files = sorted(
+        f for f in os.listdir(args.images)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )[: len(prompts)]
+    imgs = np.stack([
+        np.asarray(Image.open(os.path.join(args.images, f)).convert("RGB"))
+        for f in files
+    ])
+    score = clip_score(imgs, prompts[: len(files)], args.clip_model,
+                       device=args.device, how_many=args.how_many)
+    print(json.dumps({"clip_score": round(score, 5), "images": len(files)}))
+
+
 def cmd_eval_c2i(args):
     """FID / sFID / IS / Precision / Recall between two npz image batches
     (the reference's evaluations/c2i/evaluator.py protocol, all 5 metrics)."""
@@ -572,6 +595,15 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_eval_miou)
+
+    p = sub.add_parser("eval-t2i")
+    p.add_argument("--images", required=True)
+    p.add_argument("--prompts", required=True, help="one prompt per line")
+    p.add_argument("--clip-model", required=True,
+                   help="local transformers CLIP dir (clip-vit-base-patch32)")
+    p.add_argument("--how-many", type=int, default=5000)
+    p.add_argument("--device", default="cpu")
+    p.set_defaults(fn=cmd_eval_t2i)
 
     p = sub.add_parser("eval-c2i")
     p.add_argument("ref_batch", help="reference npz (arr_0 NHWC uint8, or mu/sigma stats)")
