@@ -405,6 +405,52 @@ def cmd_eval_miou(args):
     print(json.dumps({"miou": round(score, 5), "images": len(img_fns)}))
 
 
+def cmd_test_consistency(args):
+    """Conditional-consistency loop (ref autoregressive/test/test_c2i.py:203-231
+    / test_t2i.py: generate from condition images, re-extract the control
+    signal, score F1/SSIM/RMSE against the input)."""
+    from PIL import Image
+
+    from controlar_tpu.eval.consistency import consistency_eval
+
+    pipe = _build_pipeline(args, "c2i")
+    files = sorted(
+        f for f in os.listdir(args.condition_dir)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if args.max_images:
+        files = files[: args.max_images]
+    rng = np.random.default_rng(args.seed)
+
+    def batches():
+        for i in range(0, len(files), args.batch_size):
+            chunk = files[i : i + args.batch_size]
+            imgs = np.stack([
+                np.asarray(Image.open(os.path.join(args.condition_dir, f))
+                           .convert("RGB")
+                           .resize((args.image_size, args.image_size)))
+                for f in chunk
+            ]).astype(np.uint8)
+            yield {"condition_images": imgs,
+                   "labels": rng.integers(0, 1000, len(chunk))}
+
+    kw = {}
+    if args.condition_type == "depth":
+        kw["depth_fn"] = pipe.depth_fn or (
+            lambda imgs: np.asarray(imgs, np.float32).mean(-1))
+    elif args.condition_type == "hed":
+        kw["hed_params"] = pipe.hed_params
+    elif args.condition_type == "lineart":
+        kw["lineart_params"] = pipe.lineart_params
+    score = consistency_eval(
+        pipe, batches(), args.condition_type, cfg_scale=args.cfg_scale,
+        top_k=args.top_k, seed=args.seed, **kw,
+    )
+    metric = {"canny": "f1", "hed": "ms_ssim", "lineart": "ms_ssim",
+              "depth": "rmse"}[args.condition_type]
+    print(json.dumps({metric: round(float(score), 5), "images": len(files)}))
+
+
 def cmd_eval_t2i(args):
     """t2i CLIP score over a generated-images dir + prompts file (the
     reference's GigaGAN-protocol eval, evaluations/t2i/evaluation.py:130-178).
@@ -595,6 +641,14 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_eval_miou)
+
+    p = sub.add_parser("test-consistency")
+    _add_model_args(p)
+    p.add_argument("--condition-dir", required=True,
+                   help="directory of condition source images")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--max-images", type=int, default=None)
+    p.set_defaults(fn=cmd_test_consistency)
 
     p = sub.add_parser("eval-t2i")
     p.add_argument("--images", required=True)
