@@ -71,6 +71,9 @@ class TrainerConfig:
     # (replaces the reference's wandb logging, ref train_c2i_fsdp.py:148-154)
     wandb_project: Optional[str] = None
     wandb_run_name: Optional[str] = None
+    # auto-numbered experiment subdirs like the reference's
+    # f"{results_dir}/{index:03d}-{model}" (ref train_c2i.py:70-84)
+    auto_exp_dir: bool = False
     gpt_ckpt: Optional[str] = None       # init weights (LlamaGen base)
     resume_dir: Optional[str] = None
     seed: int = 0
@@ -104,6 +107,17 @@ class TrainerConfig:
         )
 
 
+def next_experiment_dir(root: str, name: str) -> str:
+    """results/000-GPT-XL, results/001-GPT-XL, ... (ref train_c2i.py:70-84)."""
+    os.makedirs(root, exist_ok=True)
+    taken = [
+        int(d.split("-")[0]) for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d)) and d.split("-")[0].isdigit()
+    ]
+    idx = max(taken, default=-1) + 1
+    return os.path.join(root, f"{idx:03d}-{name}")
+
+
 class Trainer:
     def __init__(self, cfg: TrainerConfig, frozen: Optional[Dict[str, Any]] = None):
         self.cfg = cfg
@@ -128,6 +142,10 @@ class Trainer:
             donate_argnums=0,
         )
         self.bspec = NamedSharding(self.mesh, batch_spec())
+        if cfg.auto_exp_dir:
+            cfg.results_dir = next_experiment_dir(
+                cfg.results_dir, cfg.gpt_model.replace("/", "-")
+            )
         os.makedirs(cfg.results_dir, exist_ok=True)
         self._log_file = open(os.path.join(cfg.results_dir, "log.txt"), "a")
         self._metrics_file = open(

@@ -102,3 +102,15 @@ def test_hub_folder_round_trip(tmp_path):
     assert isinstance(back["layers"], list) and len(back["layers"]) == 2
     np.testing.assert_array_equal(back["layers"][1]["w"], 0)
     np.testing.assert_array_equal(back["nested"]["b"], [1, 2, 3])
+
+
+def test_next_experiment_dir(tmp_path):
+    from controlar_tpu.train.trainer import next_experiment_dir
+
+    root = str(tmp_path / "results")
+    d0 = next_experiment_dir(root, "GPT-B")
+    assert d0.endswith("000-GPT-B")
+    import os
+    os.makedirs(d0)
+    d1 = next_experiment_dir(root, "GPT-B")
+    assert d1.endswith("001-GPT-B")
