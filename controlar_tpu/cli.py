@@ -38,6 +38,8 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--control-strength", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--output-dir", default="samples")
+    p.add_argument("--quant", action="store_true",
+                   help="int8 weight streaming (+ int8 KV cache where applicable)")
 
 
 def _build_pipeline(args, model_type: str):
@@ -66,6 +68,10 @@ def _build_pipeline(args, model_type: str):
     else:
         print("[warn] no --gpt-ckpt: using random GPT weights", file=sys.stderr)
         gpt_params = gpt_model.init_gpt_params(rng, gcfg, dtype=jnp.bfloat16)
+    if getattr(args, "quant", False):
+        from controlar_tpu import quant
+
+        gpt_params = quant.quantize_gpt_params(gpt_params)
 
     if args.vq_ckpt:
         vq_params = jax.tree.map(
@@ -122,10 +128,13 @@ def cmd_sample_c2i(args):
         cond = np.stack(imgs).astype(np.uint8)
         if len(imgs) == 1 and len(labels) > 1:
             cond = np.repeat(cond, len(labels), axis=0)
+    import jax.numpy as jnp
+
     out = pipe.generate(
         labels=labels, condition_images=cond, cfg_scale=args.cfg_scale,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         control_strength=args.control_strength, seed=args.seed,
+        cache_dtype=jnp.int8 if args.quant else None,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     for i, img in enumerate(out):
@@ -187,11 +196,14 @@ def cmd_sample_t2i(args):
         )
         cond = np.repeat(np.asarray(img, np.uint8)[None], args.num_images, 0)
 
+    import jax.numpy as jnp
+
     out = pipe.generate(
         caption_emb=caption_emb, emb_masks=emb_masks, condition_images=cond,
         cfg_scale=args.cfg_scale, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
         control_strength=args.control_strength, seed=args.seed,
+        cache_dtype=jnp.int8 if args.quant else None,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     for i, img in enumerate(out):
@@ -279,12 +291,15 @@ def cmd_serve(args):
     from controlar_tpu.serve.engine import Request, ServeConfig, ServeEngine
     from controlar_tpu.models import vq as vq_model
 
-    pipe = _build_pipeline(args, "c2i")
+    pipe = _build_pipeline(args, "c2i")  # --quant already quantized weights
+    gpt_params = pipe.gpt_params
+    cache_dtype = jnp.int8 if args.quant else jnp.bfloat16
     eng = ServeEngine(
-        pipe.gpt_params, pipe.gpt_cfg,
+        gpt_params, pipe.gpt_cfg,
         ServeConfig(max_slots=args.max_slots, quantum=args.quantum,
                     temperature=args.temperature, top_k=args.top_k,
-                    top_p=args.top_p),
+                    top_p=args.top_p, cache_dtype=cache_dtype,
+                    compilation_cache_dir=args.compile_cache),
     )
     from controlar_tpu.data.imagenet_labels import lookup_class
 
@@ -600,6 +615,8 @@ def main(argv=None):
     p.set_defaults(fn=cmd_train_vq)
 
     p = sub.add_parser("serve")
+    p.add_argument("--compile-cache", default="/tmp/jax_serve_cache",
+                   help="persistent XLA compilation cache dir")
     _add_model_args(p)
     p.add_argument("--class-labels", default="207,360,387,974,88,979,417,279")
     p.add_argument("--max-slots", type=int, default=8)

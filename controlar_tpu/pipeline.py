@@ -112,16 +112,21 @@ class ControlARPipeline:
         top_p: float = 1.0,
         control_strength: float = 1.0,
         seed: int = 0,
+        cache_dtype=None,
     ) -> np.ndarray:
-        """Returns generated images as uint8 (B, H, W, 3)."""
+        """Returns generated images as uint8 (B, H, W, 3). cache_dtype
+        jnp.int8 selects the quantized KV cache (pairs with int8 weights via
+        quant.quantize_gpt_params on gpt_params)."""
         adapter_feats = None
         if condition_images is not None:
             cond = self.extract_condition(condition_images)
             adapter_feats = self.control_features(cond)
 
+        extra = {} if cache_dtype is None else {"cache_dtype": cache_dtype}
         tokens = jgen.generate(
             self.gpt_params,
             self.gpt_cfg,
+            **extra,
             labels=None if labels is None else jnp.asarray(labels),
             caption_emb=None if caption_emb is None else jnp.asarray(caption_emb),
             emb_masks=None if emb_masks is None else jnp.asarray(emb_masks),
