@@ -652,7 +652,11 @@ def main(argv=None):
     p.add_argument("--segmenter", required=True,
                    help="local transformers seg checkpoint dir "
                         "(e.g. mask2former-swin-large-ade-semantic)")
-    p.add_argument("--num-classes", type=int, default=150)
+    p.add_argument("--num-classes", type=int, default=151,
+                   help="label bins incl. the offset (ADE20K: gt/preds are "
+                        "1..150 with 0 = ignore, so 151 bins; the reference "
+                        "conflates class 150 with its remapped ignore label, "
+                        "ade20k_mIoU.py:44-48 — here class 150 is scored)")
     p.add_argument("--ignore-index", type=int, default=0)
     p.add_argument("--label-offset", type=int, default=None)
     p.add_argument("--batch-size", type=int, default=4)

@@ -76,3 +76,19 @@ def test_ade20k_offset_autodetect(tmp_path):
         assert calls["offset"] == 0
     finally:
         S.hf_semantic_segmenter = orig
+
+
+def test_ade20k_binning_covers_class_150():
+    """With the +1 offset, ADE20K labels span 1..150; 151 bins score class
+    150 correctly (150 bins would alias it into the wrong rows)."""
+    from controlar_tpu.eval.miou import ConfusionMatrix
+
+    cm = ConfusionMatrix(num_classes=151, ignore_index=0)
+    gt = np.array([[150, 150, 3, 0]])   # one ignored pixel
+    pred = np.array([[150, 3, 3, 150]])
+    cm.update(gt, pred)
+    miou, iou = cm.miou()
+    assert iou[150] == pytest.approx(0.5)   # 1 TP, 1 FN
+    assert iou[3] == pytest.approx(0.5)     # 1 TP, 1 FP
+    assert np.isnan(iou[0])                 # ignore bin untouched
+    assert miou == pytest.approx(0.5)
