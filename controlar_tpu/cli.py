@@ -51,12 +51,18 @@ def _build_pipeline(args, model_type: str):
     from controlar_tpu.pipeline import ControlARPipeline
     from controlar_tpu import checkpoint as ckpt_lib
 
-    block = (args.image_size // args.downsample_size) ** 2
+    # arbitrary-resolution (MR): an explicit HxW token grid with exact
+    # rectangular RoPE (ref sample_t2i_MR.py; SURVEY §5) — the model weights
+    # are resolution-independent
+    ih = getattr(args, "image_height", None) or args.image_size
+    iw = getattr(args, "image_width", None) or args.image_size
+    gh, gw = ih // args.downsample_size, iw // args.downsample_size
     cls_token_num = 1 if model_type == "c2i" else 120
     gcfg = gpt_config(
-        args.gpt_model, model_type=model_type, block_size=block,
+        args.gpt_model, model_type=model_type, block_size=gh * gw,
         cls_token_num=cls_token_num, condition_type=args.condition_type,
         adapter_size=args.adapter_size,
+        **({"grid_hw": (gh, gw)} if gh != gw else {}),
     )
     vcfg = vq_config("VQ-16")
     rng = jax.random.PRNGKey(args.seed)
@@ -191,9 +197,9 @@ def cmd_sample_t2i(args):
 
     cond = None
     if args.condition_image:
-        img = Image.open(args.condition_image).convert("RGB").resize(
-            (args.image_size, args.image_size)
-        )
+        ih = args.image_height or args.image_size
+        iw = args.image_width or args.image_size
+        img = Image.open(args.condition_image).convert("RGB").resize((iw, ih))
         cond = np.repeat(np.asarray(img, np.uint8)[None], args.num_images, 0)
 
     import jax.numpy as jnp
@@ -584,6 +590,10 @@ def main(argv=None):
     p.set_defaults(fn=cmd_train_t2i)
 
     p = sub.add_parser("sample-t2i")
+    p.add_argument("--image-height", type=int, default=None,
+                   help="MR: explicit output height (pairs with --image-width; "
+                        "exact rectangular RoPE, ref sample_t2i_MR.py)")
+    p.add_argument("--image-width", type=int, default=None)
     _add_model_args(p)
     p.add_argument("--prompt", default=None)
     p.add_argument("--t5-path", default=None)
