@@ -287,6 +287,29 @@ def cmd_train_vq(args):
             )
             print(f"saved {path}")
 
+    # rFID smoke gate (VERDICT r1 item 7): round-trip reconstruction metrics
+    # on training images; samples.npz feeds `eval-c2i` for the full rFID when
+    # an Inception checkpoint is available
+    if args.eval_after > 0:
+        from controlar_tpu.eval.reconstruction import reconstruction_eval
+
+        def eval_batches():
+            for i in range(0, min(args.eval_after, len(files)), args.batch_size):
+                chunk = files[i : i + args.batch_size]
+                yield np.stack([
+                    np.asarray(center_crop_arr(
+                        Image.open(os.path.join(args.images, f)).convert("RGB"),
+                        args.image_size,
+                    ), np.uint8)
+                    for f in chunk
+                ])
+
+        out = reconstruction_eval(
+            state.vq_params, vcfg, eval_batches(),
+            out_dir=os.path.join(args.results_dir, "recon_eval"),
+        )
+        print("reconstruction gate: " + json.dumps(out))
+
 
 def cmd_serve(args):
     """Offline batch serving through the continuous-batching engine
@@ -620,6 +643,9 @@ def main(argv=None):
     p.add_argument("--ema", action="store_true")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--ckpt-every", type=int, default=5000)
+    p.add_argument("--eval-after", type=int, default=64,
+                   help="run the reconstruction rFID smoke gate on this many "
+                        "images after training (0 disables)")
     p.add_argument("--results-dir", default="results")
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_train_vq)

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from controlar_tpu.config import VQConfig
 from controlar_tpu.models import vq as vq_model
-from controlar_tpu.eval.metrics import ms_ssim
+from controlar_tpu.eval.metrics import _ssim_pair, ms_ssim
 from controlar_tpu.pipeline import to_uint8_image
 
 
@@ -48,11 +48,13 @@ def reconstruction_eval(
         rec = to_uint8_image(roundtrip(x))
         for a, b in zip(imgs, rec):
             psnrs.append(psnr(a, b))
-            s = ms_ssim(
-                jnp.asarray(a, jnp.float32)[None] / 255.0,
-                jnp.asarray(b, jnp.float32)[None] / 255.0,
-            )
-            ssims.append(float(s[0]))
+            aj = jnp.asarray(a, jnp.float32)[None] / 255.0
+            bj = jnp.asarray(b, jnp.float32)[None] / 255.0
+            if min(a.shape[:2]) >= 176:  # 5 MS-SSIM scales need >= 11*2^4
+                s = ms_ssim(aj, bj)
+            else:  # single-scale SSIM fallback for small eval images
+                s, _ = _ssim_pair(aj, bj)
+            ssims.append(float(jnp.ravel(s)[0]))
             if out_dir:
                 from PIL import Image
 

@@ -33,8 +33,9 @@ Notes:
   within 8% relative of bf16 at tiny scale (tests/test_quant.py); weight-only
   quantization of this form is the standard near-lossless serving recipe.
 - t2i flagship (GPT-XL 512px, 1024 tokens + 120-token left-padded captions
-  through the kernel's column-bias path, CFG 7.5): 5.57 s / batch 8 on one
-  v5e = 1.44 img/s (bf16).
+  through the kernel's column-bias path, CFG 7.5): 5.56 s / batch 8 on one
+  v5e = 1.44 img/s bf16; 4.14 s = 1.93 img/s with int8 weights + int8 KV
+  (the q8 kernel's additive column bias serves the caption masks).
 - Serving engine v2 (continuous batching, 8 slots, quantum 72, per-slot
   positions, group admission + in-graph sampling + single fixed-quantum
   program): 16 staggered GPT-B requests in 1.97 s warm = 8.1 img/s on one
