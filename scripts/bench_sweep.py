@@ -41,10 +41,12 @@ Notes:
   program): 16 staggered GPT-B requests in 1.97 s warm = 8.1 img/s on one
   v5e — 2.4x the reference vLLM fork's A100 rate (8/2.39 s = 3.35 img/s),
   while supporting t2i + emb masks (the reference serves c2i only).
-  Cold-to-first-image is 95 s with the persistent compilation cache
-  (ServeConfig.compilation_cache_dir) populated; the first-ever process pays
-  the one-time quantum compile (~10 min on the remote-compile tunnel).
-  Reproduce: `python scripts/bench_serve.py`.
+  With `--quant` (int8 weights + int8 KV cache) the warm rate rises to
+  9.4 img/s = 2.8x. Cold-to-first-image is 95 s with the persistent
+  compilation cache (ServeConfig.compilation_cache_dir) populated; the
+  first-ever process pays the one-time quantum compile (~10 min on the
+  remote-compile tunnel). Reproduce: `python scripts/bench_serve.py
+  [--quant]`.
 - Training throughput: GPT-B t2i control fine-tuning at 256px, batch 16,
   runs 161 ms/step = 99 imgs/sec/chip on one v5e
   (`python scripts/bench_train.py`; the reference publishes no training
