@@ -3,11 +3,22 @@
 One entry point replaces the reference's 30+ argparse scripts
 (ref scripts/*.sh wrapping autoregressive/{sample,train,test}/*.py).
 Commands:
-    sample-c2i   class-conditional generation with optional control images
-    sample-t2i   text-conditional generation (requires T5 assets)
-    train-t2i    control fine-tuning over an extracted code tree
-    train-c2i    class-conditional control training over ImageNet codes
-    bench        run the standard benchmark (same as bench.py)
+    sample-c2i        class-conditional generation (+ control images, --quant,
+                      class names)
+    sample-t2i        text-conditional generation (T5 assets; MR via
+                      --image-height/--image-width)
+    train-c2i         class-conditional control training over ImageNet codes
+    train-t2i         control fine-tuning over an extracted code tree
+    train-vq          VQGAN tokenizer training (+ rFID smoke gate)
+    serve             continuous-batching engine (--quant for int8)
+    extract           build code trees from image folders
+    verify-zoo        released-checkpoint greedy-token parity gate
+    test-consistency  generate -> re-extract -> F1/SSIM/RMSE loop
+    eval-c2i          FID / sFID / IS / Precision / Recall over npz batches
+    eval-t2i          CLIP score over generated images + prompts
+    eval-miou         segmentation mIoU via a local reward model
+    eval-vq           VQ round-trip reconstruction metrics
+    bench             the standard benchmark (same as bench.py)
 """
 from __future__ import annotations
 
@@ -173,6 +184,38 @@ def cmd_train_t2i(args):
         code_path=args.code_path, condition_type=args.condition_type,
         image_size=args.image_size,
     ))
+    loader = ShardedLoader(
+        ds, batch_size=args.global_batch_size // jax.process_count(),
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+    Trainer(tcfg).fit(loader, max_steps=args.max_steps)
+
+
+def cmd_train_c2i(args):
+    """Class-conditional control training over ImageNet code trees
+    (ref autoregressive/train/train_c2i*.py; the c2i branch of the one
+    unified trainer)."""
+    from controlar_tpu.parallel import distributed
+
+    distributed.init(args.dist_coordinator, args.dist_num_processes,
+                     args.dist_process_id)
+
+    from controlar_tpu.data.t2i_control import C2ICodeDataset
+    from controlar_tpu.data.loader import ShardedLoader
+    from controlar_tpu.train.trainer import Trainer, TrainerConfig
+    import jax
+
+    tcfg = TrainerConfig(
+        gpt_model=args.gpt_model, model_type="c2i", image_size=args.image_size,
+        condition_type=args.condition_type, adapter_size=args.adapter_size,
+        cls_token_num=1, lr=args.lr, global_batch_size=args.global_batch_size,
+        epochs=args.epochs, results_dir=args.results_dir,
+        gpt_ckpt=args.gpt_ckpt, resume_dir=args.resume_dir, ema=args.ema,
+    )
+    ds = C2ICodeDataset(
+        code_dir=args.code_dir, label_dir=args.label_dir,
+        condition_imgs_dir=args.condition_dir, flip_aug=not args.no_flip_aug,
+    )
     loader = ShardedLoader(
         ds, batch_size=args.global_batch_size // jax.process_count(),
         process_index=jax.process_index(), process_count=jax.process_count(),
@@ -611,6 +654,26 @@ def main(argv=None):
     p.add_argument("--dist-num-processes", type=int, default=None)
     p.add_argument("--dist-process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train_t2i)
+
+    p = sub.add_parser("train-c2i")
+    _add_model_args(p)
+    p.add_argument("--code-dir", required=True, help="imagenet{S}_codes dir")
+    p.add_argument("--label-dir", required=True, help="imagenet{S}_labels dir")
+    p.add_argument("--condition-dir", default=None,
+                   help="imagenet{S}_<cond>_imagesnpy dir (None: on-device "
+                        "extraction from control images in the batch)")
+    p.add_argument("--no-flip-aug", action="store_true")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--global-batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--max-steps", type=int, default=None)
+    p.add_argument("--results-dir", default="results")
+    p.add_argument("--resume-dir", default=None)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--dist-coordinator", default=None)
+    p.add_argument("--dist-num-processes", type=int, default=None)
+    p.add_argument("--dist-process-id", type=int, default=None)
+    p.set_defaults(fn=cmd_train_c2i)
 
     p = sub.add_parser("sample-t2i")
     p.add_argument("--image-height", type=int, default=None,

@@ -32,11 +32,19 @@ def init(
         )
         if not in_pod:
             return  # single host
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (ValueError, RuntimeError) as e:
+        # pod-looking env vars without a derivable coordinator (e.g. a
+        # single tunneled chip that still exports TPU_WORKER_HOSTNAMES), or
+        # an already-initialized runtime: proceed single-host
+        import warnings
+
+        warnings.warn(f"jax.distributed.initialize skipped: {e}")
 
 
 def is_main_process() -> bool:

@@ -38,6 +38,12 @@ def extract_condition_on_device(
     frozen: Optional[Dict[str, Any]] = None,
 ) -> jnp.ndarray:
     """-> (B, H, W, 3) in [-1, 1]."""
+    if "control_map" in batch:
+        # pre-extracted condition maps (the ref c2i trainers train from
+        # offline canny/depth .npy trees, dataset/imagenet.py:60-77)
+        cm = batch["control_map"].astype(jnp.float32)
+        cond = cm if cm.ndim == 4 else jnp.repeat(cm[..., None], 3, axis=-1)
+        return 2.0 * (cond / 255.0 - 0.5)
     if condition_type == "canny":
         m = canny(batch["control_image"], 100, 200).astype(jnp.float32)
         cond = jnp.repeat(m[..., None], 3, axis=-1)
@@ -51,9 +57,6 @@ def extract_condition_on_device(
             frozen["lineart"], batch["control_image"].astype(jnp.float32)
         ) * 255.0
         cond = jnp.repeat(m[..., None], 3, axis=-1)
-    elif condition_type in ("seg", "depth"):
-        cm = batch["control_map"].astype(jnp.float32)
-        cond = cm if cm.ndim == 4 else jnp.repeat(cm[..., None], 3, axis=-1)
     else:
         raise ValueError(condition_type)
     return 2.0 * (cond / 255.0 - 0.5)

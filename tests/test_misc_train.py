@@ -114,3 +114,19 @@ def test_next_experiment_dir(tmp_path):
     os.makedirs(d0)
     d1 = next_experiment_dir(root, "GPT-B")
     assert d1.endswith("001-GPT-B")
+
+
+def test_pre_extracted_control_map_fast_path():
+    """c2i trains from offline condition trees: a batch carrying control_map
+    bypasses the on-device extractor for ANY condition type (the ref c2i
+    trainers consume precomputed canny npy maps, dataset/imagenet.py:60-77)."""
+    import jax.numpy as jnp
+
+    from controlar_tpu.train.control_step import extract_condition_on_device
+
+    cm = (np.arange(2 * 4 * 4, dtype=np.uint8).reshape(2, 4, 4) * 3) % 255
+    out = extract_condition_on_device({"control_map": jnp.asarray(cm)}, "canny")
+    assert out.shape == (2, 4, 4, 3)
+    np.testing.assert_allclose(
+        np.asarray(out[..., 0]), 2.0 * (cm / 255.0 - 0.5), atol=1e-6
+    )

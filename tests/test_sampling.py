@@ -36,3 +36,4 @@ def test_sample_tokens_greedy_and_range():
     topk_sets = np.argsort(np.asarray(logits), axis=-1)[:, -10:]
     for b, t in enumerate(np.asarray(sampled)):
         assert t in topk_sets[b]
+
