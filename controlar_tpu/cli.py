@@ -18,6 +18,7 @@ Commands:
     eval-t2i          CLIP score over generated images + prompts
     eval-miou         segmentation mIoU via a local reward model
     eval-vq           VQ round-trip reconstruction metrics
+    sample-fid        class-balanced FID dump (images + samples.npz)
     bench             the standard benchmark (same as bench.py)
 """
 from __future__ import annotations
@@ -492,6 +493,22 @@ def cmd_eval_miou(args):
     print(json.dumps({"miou": round(score, 5), "images": len(img_fns)}))
 
 
+def cmd_sample_fid(args):
+    """Class-balanced FID sample dump (ref sample_c2i_ddp.py + create_npz.py):
+    generates N images and writes images/*.png + samples.npz — the input of
+    `eval-c2i`."""
+    from controlar_tpu.eval.sampler import sample_c2i_fid
+
+    pipe = _build_pipeline(args, "c2i")
+    shard = sample_c2i_fid(
+        pipe, args.num_images, batch_size=args.batch_size,
+        cfg_scale=args.cfg_scale, top_k=args.top_k,
+        out_dir=args.output_dir, seed=args.seed,
+    )
+    print(json.dumps({"generated": int(shard.shape[0]),
+                      "out": args.output_dir}))
+
+
 def cmd_test_consistency(args):
     """Conditional-consistency loop (ref autoregressive/test/test_c2i.py:203-231
     / test_t2i.py: generate from condition images, re-extract the control
@@ -761,6 +778,12 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--device", default="cpu")
     p.set_defaults(fn=cmd_eval_miou)
+
+    p = sub.add_parser("sample-fid")
+    _add_model_args(p)
+    p.add_argument("--num-images", type=int, default=50000)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.set_defaults(fn=cmd_sample_fid)
 
     p = sub.add_parser("test-consistency")
     _add_model_args(p)
