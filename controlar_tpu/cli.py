@@ -447,6 +447,9 @@ def cmd_verify_zoo(args):
     if args.self_test:
         for mt in ("c2i", "t2i"):
             results.append(verify_zoo.self_test(model_type=mt))
+    if args.zoo_dir:
+        results.extend(verify_zoo.verify_zoo_dir(
+            args.zoo_dir, max_new_tokens=args.max_new_tokens or 64))
     for ck in args.checkpoints:
         results.append(verify_zoo.verify_checkpoint(
             ck, args.size, model_type=args.model_type,
@@ -760,6 +763,10 @@ def main(argv=None):
     p.add_argument("--cfg-scale", type=float, default=2.0)
     p.add_argument("--self-test", action="store_true",
                    help="run the gate on a tiny random reference checkpoint")
+    p.add_argument("--zoo-dir", default=None,
+                   help="gate every released zoo file found in this dir "
+                        "(canny_MR/depth_MR/hed/seg_cocostuff/edge_base/"
+                        "depth_base .safetensors, ref README.md:60-67)")
     p.set_defaults(fn=cmd_verify_zoo)
 
     p = sub.add_parser("eval-miou")

@@ -97,6 +97,37 @@ def _patch_ref_model(model, t2i: bool):
     model.forward = fwd
 
 
+# the released checkpoint zoo (ref README.md:60-67): file name -> gate
+# configuration. `verify-zoo --all DIR` runs every file found in DIR.
+ZOO = {
+    "canny_MR.safetensors": dict(size="GPT-XL", model_type="t2i",
+                                 adapter_size="small", block_size=1024),
+    "depth_MR.safetensors": dict(size="GPT-XL", model_type="t2i",
+                                 adapter_size="small", block_size=1024),
+    "hed.safetensors": dict(size="GPT-XL", model_type="t2i",
+                            adapter_size="small", block_size=1024),
+    "seg_cocostuff.safetensors": dict(size="GPT-XL", model_type="t2i",
+                                      adapter_size="small", block_size=1024),
+    "edge_base.safetensors": dict(size="GPT-XL", model_type="t2i",
+                                  adapter_size="base", block_size=1024),
+    "depth_base.safetensors": dict(size="GPT-XL", model_type="t2i",
+                                   adapter_size="base", block_size=1024),
+}
+
+
+def verify_zoo_dir(zoo_dir: str, max_new_tokens: Optional[int] = 64):
+    """Gate every known zoo file present in zoo_dir. Returns GateResults."""
+    import os
+
+    results = []
+    for name, kw in ZOO.items():
+        path = os.path.join(zoo_dir, name)
+        if os.path.exists(path):
+            results.append(verify_checkpoint(
+                path, name=name, max_new_tokens=max_new_tokens, **kw))
+    return results
+
+
 @dataclasses.dataclass
 class GateResult:
     name: str
