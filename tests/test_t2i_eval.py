@@ -13,13 +13,14 @@ def tiny_clip_dir(tmp_path_factory):
                               CLIPVisionConfig, CLIPImageProcessor)
 
     torch.manual_seed(0)
-    cfg = CLIPConfig.from_text_vision_configs(
-        CLIPTextConfig(hidden_size=32, intermediate_size=64,
-                       num_hidden_layers=2, num_attention_heads=2,
-                       max_position_embeddings=77, vocab_size=49408),
-        CLIPVisionConfig(hidden_size=32, intermediate_size=64,
-                         num_hidden_layers=2, num_attention_heads=2,
-                         image_size=32, patch_size=16),
+    cfg = CLIPConfig(
+        text_config=CLIPTextConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, max_position_embeddings=77,
+            vocab_size=49408),
+        vision_config=CLIPVisionConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=2, image_size=32, patch_size=16),
         projection_dim=16,
     )
     model = CLIPModel(cfg)
