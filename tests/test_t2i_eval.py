@@ -9,16 +9,15 @@ import pytest
 @pytest.fixture(scope="module")
 def tiny_clip_dir(tmp_path_factory):
     import torch
-    from transformers import (CLIPConfig, CLIPModel, CLIPTextConfig,
-                              CLIPVisionConfig, CLIPImageProcessor)
+    from transformers import CLIPConfig, CLIPModel, CLIPImageProcessor
 
     torch.manual_seed(0)
     cfg = CLIPConfig(
-        text_config=CLIPTextConfig(
+        text_config=dict(
             hidden_size=32, intermediate_size=64, num_hidden_layers=2,
             num_attention_heads=2, max_position_embeddings=77,
             vocab_size=49408),
-        vision_config=CLIPVisionConfig(
+        vision_config=dict(
             hidden_size=32, intermediate_size=64, num_hidden_layers=2,
             num_attention_heads=2, image_size=32, patch_size=16),
         projection_dim=16,
