@@ -27,8 +27,11 @@ Notes:
   per-head scales, Pallas q8 flash kernel with a parallel scale stream),
   halving the second-largest read — the KV slab approaches the weight bytes
   at full sequence for these MHA models. Kernel correctness: 2.3e-4 max
-  error vs exact attention over the dequantized slab on the real chip
-  (tests/test_kv_int8.py has the bounds/parity suite).
+  error vs exact attention over the dequantized slab on the real chip, and
+  the t2i serving combination (q8 + column-bias caption masks + per-slot
+  positions) is greedy-token-exact vs the offline loop on-chip
+  (tests/test_kv_int8.py and tests/test_serve_t2i.py hold the suite-level
+  bounds/parity checks).
 - W8A16 accuracy: per-output-channel symmetric scales; decode logits stay
   within 8% relative of bf16 at tiny scale (tests/test_quant.py); weight-only
   quantization of this form is the standard near-lossless serving recipe.
