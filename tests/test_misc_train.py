@@ -130,3 +130,30 @@ def test_pre_extracted_control_map_fast_path():
     np.testing.assert_allclose(
         np.asarray(out[..., 0]), 2.0 * (cm / 255.0 - 0.5), atol=1e-6
     )
+
+
+def test_hub_folder_quantized_tree(tmp_path):
+    """A W8A16-quantized GPT tree (int8 q + f32 s dict leaves) survives the
+    hub safetensors round trip — a quantized serving artifact is portable."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from controlar_tpu import quant
+    from controlar_tpu.config import GPTConfig
+    from controlar_tpu.models import gpt as jgpt
+    from controlar_tpu.tools import load_hub_folder, save_hub_folder
+
+    cfg = GPTConfig(model_type="c2i", dim=32, n_layer=2, n_head=2,
+                    cls_token_num=1, block_size=4, vocab_size=64, num_classes=4)
+    qp = quant.quantize_gpt_params(
+        jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16))
+    out = save_hub_folder(qp, {"size": "tiny", "quant": "w8a16"},
+                          str(tmp_path / "hub"))
+    back, meta = load_hub_folder(out)
+    assert meta["quant"] == "w8a16"
+    assert back["layers"]["wqkv"]["q"].dtype == np.int8
+    np.testing.assert_array_equal(
+        back["layers"]["wqkv"]["q"], np.asarray(qp["layers"]["wqkv"]["q"]))
+    np.testing.assert_allclose(
+        back["output"]["s"], np.asarray(qp["output"]["s"]))
