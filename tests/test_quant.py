@@ -93,3 +93,22 @@ def test_quantized_decode_logits_close_and_generate_runs():
     lb, lq = np.asarray(lb, np.float32), np.asarray(lq, np.float32)
     scale = np.abs(lb).max() + 1e-6
     assert np.abs(lb - lq).max() / scale < 0.08, np.abs(lb - lq).max() / scale
+
+
+def test_unstack_layers_quantized_tree_cached():
+    """decode.unstack_layers handles {q, s} dict leaves (per-layer slicing
+    maps over them) and its identity cache works for quantized trees."""
+    from controlar_tpu import decode as dec
+
+    cfg = tiny_cfg()
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(7), cfg, jnp.bfloat16)
+    qp = quant.quantize_gpt_params(params)
+    u1 = dec.unstack_layers(qp)
+    u2 = dec.unstack_layers(qp)
+    assert u1 is u2  # cache hit on the same stacked tree
+    assert isinstance(u1["layers"], tuple) and len(u1["layers"]) == cfg.n_layer
+    l0 = u1["layers"][0]
+    assert quant.is_quantized(l0["wqkv"])
+    assert l0["wqkv"]["q"].shape == (cfg.dim, 3 * cfg.dim)
+    np.testing.assert_array_equal(
+        np.asarray(l0["wqkv"]["q"]), np.asarray(qp["layers"]["wqkv"]["q"][0]))
