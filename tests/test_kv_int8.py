@@ -89,3 +89,19 @@ def test_int8_cache_structothers():
     logits, caches = dec.prefill_flat(params, cfg, caches, prefix, None, None)
     assert np.asarray(caches[0]["s"][:, 0]).max() > 0
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_generate_int8_cache_no_cfg_branch():
+    """cfg_scale=1.0 (no CFG doubling) through the quantized cache — the
+    non-CFG decode branch carries single-batch rows through quantize/append."""
+    cfg = GPTConfig(model_type="c2i", dim=64, n_layer=4, n_head=4,
+                    cls_token_num=1, block_size=16, vocab_size=128,
+                    num_classes=10)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    kw = dict(labels=jnp.arange(3), max_new_tokens=cfg.block_size,
+              cfg_scale=1.0, sample_logits=False, rng=jax.random.PRNGKey(0),
+              use_flash=False)
+    t_ref = np.asarray(jgen.generate(params, cfg, cache_dtype=jnp.float32, **kw))
+    t_q8 = np.asarray(jgen.generate(params, cfg, cache_dtype=jnp.int8, **kw))
+    assert t_ref.shape == t_q8.shape == (3, cfg.block_size)
+    assert (t_ref == t_q8).mean() >= 0.85
