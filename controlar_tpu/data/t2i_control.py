@@ -145,6 +145,12 @@ class C2ICodeDataset:
 
     Tree: {root}/imagenet{S}_codes/{i}.npy (flip-augmented, (1, A, 256)),
     ..._labels/{i}.npy, ..._{cond}_imagesnpy/{i}.npy (A, H, W[, C]).
+
+    Aug-dir mixing (ref imagenet.py:16-27,53-61): when a sibling tree with
+    'ten_crop' replaced by 'ten_crop_105' exists (105-crop augmentation), each
+    item loads from it with p=0.5. The reference leaves `condition_dir`
+    unbound on the aug branch (imagenet.py:53-60 would NameError); here the
+    aug condition tree is used when present, else the base tree.
     """
 
     def __init__(self, code_dir: str, label_dir: str,
@@ -154,6 +160,18 @@ class C2ICodeDataset:
         self.label_dir = label_dir
         self.condition_imgs_dir = condition_imgs_dir
         self.flip_aug = flip_aug
+
+        def aug_of(d):
+            if d is None or "ten_crop" not in d:
+                return None
+            a = d.replace("ten_crop", "ten_crop_105")
+            return a if os.path.isdir(a) else None
+
+        self.aug_code_dir = aug_of(code_dir)
+        self.aug_label_dir = aug_of(label_dir)
+        self.aug_condition_imgs_dir = aug_of(condition_imgs_dir)
+        if self.aug_code_dir is None or self.aug_label_dir is None:
+            self.aug_code_dir = self.aug_label_dir = None
         n = len(os.listdir(code_dir))
         self.files = [f"{i}.npy" for i in range(n)]
         self.rng = np.random.default_rng(seed)
@@ -163,7 +181,13 @@ class C2ICodeDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         f = self.files[idx]
-        code = np.load(os.path.join(self.code_dir, f))
+        code_dir, label_dir = self.code_dir, self.label_dir
+        cond_dir = self.condition_imgs_dir
+        if self.aug_code_dir is not None and self.rng.random() < 0.5:
+            code_dir, label_dir = self.aug_code_dir, self.aug_label_dir
+            if self.aug_condition_imgs_dir is not None:
+                cond_dir = self.aug_condition_imgs_dir
+        code = np.load(os.path.join(code_dir, f))
         aug_idx = 0
         if self.flip_aug and code.ndim >= 2 and code.shape[0] == 1:
             aug_idx = int(self.rng.integers(0, code.shape[1]))
@@ -172,10 +196,10 @@ class C2ICodeDataset:
             code = code.reshape(-1)
         out = {
             "tokens": code.astype(np.int32).reshape(-1),
-            "labels": np.load(os.path.join(self.label_dir, f)).reshape(-1)[0].astype(np.int32),
+            "labels": np.load(os.path.join(label_dir, f)).reshape(-1)[0].astype(np.int32),
         }
-        if self.condition_imgs_dir is not None:
-            cond = np.load(os.path.join(self.condition_imgs_dir, f))
+        if cond_dir is not None:
+            cond = np.load(os.path.join(cond_dir, f))
             if cond.ndim >= 3 and self.flip_aug:
                 cond = cond[aug_idx]
             # stored as uint8-range maps; normalized on device

@@ -15,6 +15,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from controlar_tpu.ops.conv import (
     conv2d,
@@ -94,3 +95,50 @@ def lineart_forward(p: Params, x: jnp.ndarray) -> jnp.ndarray:
     y = reflect_pad2d(y, 3)
     y = conv2d(y, p["model4"]["w"], p["model4"]["b"], padding="VALID")
     return jax.nn.sigmoid(y)[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# HED edge NMS (scribble-style thinning)
+# ---------------------------------------------------------------------------
+
+def hed_nms(x: jnp.ndarray, t: float, s: float) -> jnp.ndarray:
+    """Directional NMS over an edge map (ref condition/hed.py:84-99 `nms`).
+
+    Gaussian blur (sigma=s, OpenCV's derived odd kernel size for float
+    inputs), then keep pixels that equal the 3-pixel dilation along any of
+    the 4 line directions (H, V, two diagonals), then threshold: > t -> 255.
+
+    x: (H, W) or (B, H, W) float edge map. Returns uint8 {0, 255} of the
+    same shape. Jittable; t and s are static Python floats.
+    """
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    x = x.astype(jnp.float32)
+
+    # cv2.GaussianBlur((0,0), sigma) on CV_32F: ksize = round(sigma*4*2+1)|1
+    k = int(round(s * 8 + 1)) | 1
+    half = k // 2
+    i = np.arange(k) - half
+    g = np.exp(-(i.astype(np.float64) ** 2) / (2.0 * s * s))
+    g = (g / g.sum()).astype(np.float32)
+    # separable blur with REFLECT_101 borders (np/jnp "reflect")
+    xp = jnp.pad(x, ((0, 0), (half, half), (0, 0)), mode="reflect")
+    x_blur = sum(g[j] * xp[:, j : j + x.shape[1], :] for j in range(k))
+    xp = jnp.pad(x_blur, ((0, 0), (0, 0), (half, half)), mode="reflect")
+    x_blur = sum(g[j] * xp[:, :, j : j + x.shape[2]] for j in range(k))
+
+    # 4 directional 3-element dilations (borders act as -inf, the dilate
+    # BORDER_CONSTANT morphology default)
+    p = jnp.pad(x_blur, ((0, 0), (1, 1), (1, 1)), constant_values=-jnp.inf)
+    c = p[:, 1:-1, 1:-1]
+    horiz = jnp.maximum(jnp.maximum(p[:, 1:-1, :-2], c), p[:, 1:-1, 2:])
+    vert = jnp.maximum(jnp.maximum(p[:, :-2, 1:-1], c), p[:, 2:, 1:-1])
+    diag1 = jnp.maximum(jnp.maximum(p[:, :-2, :-2], c), p[:, 2:, 2:])
+    diag2 = jnp.maximum(jnp.maximum(p[:, :-2, 2:], c), p[:, 2:, :-2])
+    is_max = (
+        (c >= horiz) | (c >= vert) | (c >= diag1) | (c >= diag2)
+    )
+    y = jnp.where(is_max, x_blur, 0.0)
+    z = jnp.where(y > t, jnp.uint8(255), jnp.uint8(0))
+    return z[0] if squeeze else z

@@ -370,7 +370,20 @@ def forward_train(
     using `rng` (ref ModelArgs dropout rates); attn dropout is 0 in all
     reference configs and is not implemented.
     """
-    tok = params["tok_embeddings"][idx]
+    from controlar_tpu.parallel.sharding import constrain_batch, mesh_active
+
+    if mesh_active():
+        # Under SPMD, a gather's backward is a scatter-add into the
+        # (tp, fsdp)-sharded table, whose update layout the partitioner can
+        # only reach via involuntary full rematerialization of the cotangent.
+        # A one-hot matmul is the TPU-idiomatic embedding: both directions
+        # are dot_generals the partitioner shards with standard collectives
+        # (flops are negligible at train shapes).
+        table = params["tok_embeddings"]
+        onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
+        tok = constrain_batch(onehot @ table)
+    else:
+        tok = params["tok_embeddings"][idx]
     h = jnp.concatenate([prefix_emb, tok], axis=1)
     t = h.shape[1]
     if not deterministic and cfg.token_dropout_p > 0 and rng is not None:

@@ -85,3 +85,25 @@ def shard_params(params, mesh: Mesh, cfg: GPTConfig):
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
     )
+
+
+def mesh_active() -> bool:
+    """True iff tracing/running under an active (data, fsdp, tp) mesh."""
+    mesh = jax.sharding.get_abstract_mesh()
+    return (not mesh.empty) and "data" in mesh.axis_names
+
+
+def constrain_batch(x):
+    """with_sharding_constraint(P(("data","fsdp"), None...)) iff a (data,
+    fsdp, tp) mesh is active; no-op otherwise (single-device paths).
+
+    Used on batch-major activations whose BACKWARD cotangents XLA would
+    otherwise reshard through an involuntary full rematerialization (the
+    transpose of a sharding constraint applies the same constraint to the
+    cotangent, pinning both directions to batch sharding).
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh.empty or "data" not in mesh.axis_names:
+        return x
+    spec = P(*([("data", "fsdp")] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, spec)

@@ -53,13 +53,19 @@ class ControlARPipeline:
     depth_fn: Any = None  # optional override: (B,H,W,3) uint8 -> (B,H,W) 0..255
 
     # ------------------------------------------------------------------
-    def extract_condition(self, images_u8: np.ndarray) -> jnp.ndarray:
+    def extract_condition(self, images_u8: np.ndarray, *,
+                          canny_low: int = 100, canny_high: int = 200,
+                          preprocess: bool = True) -> jnp.ndarray:
         """RGB uint8 (B,H,W,3) -> normalized 3-channel control map
-        (ref sample_t2i.py:106-141 dispatch)."""
+        (ref sample_t2i.py:106-141 dispatch). preprocess=False treats the
+        input as an already-rendered map (the demo's "No preprocess" choice,
+        ref demo/app_edge.py:36-44)."""
         x = jnp.asarray(images_u8)
         ct = self.condition_type
-        if ct == "canny":
-            cond = canny(x, 100, 200).astype(jnp.float32)
+        if not preprocess:
+            cond = x.astype(jnp.float32).mean(-1)
+        elif ct == "canny":
+            cond = canny(x, canny_low, canny_high).astype(jnp.float32)
         elif ct == "hed":
             cond = control_nets.hed_forward(self.hed_params, x.astype(jnp.float32))
         elif ct == "lineart":
@@ -113,13 +119,19 @@ class ControlARPipeline:
         control_strength: float = 1.0,
         seed: int = 0,
         cache_dtype=None,
+        canny_low: int = 100,
+        canny_high: int = 200,
+        preprocess_condition: bool = True,
     ) -> np.ndarray:
         """Returns generated images as uint8 (B, H, W, 3). cache_dtype
         jnp.int8 selects the quantized KV cache (pairs with int8 weights via
         quant.quantize_gpt_params on gpt_params)."""
         adapter_feats = None
         if condition_images is not None:
-            cond = self.extract_condition(condition_images)
+            cond = self.extract_condition(
+                condition_images, canny_low=canny_low, canny_high=canny_high,
+                preprocess=preprocess_condition,
+            )
             adapter_feats = self.control_features(cond)
 
         extra = {} if cache_dtype is None else {"cache_dtype": cache_dtype}

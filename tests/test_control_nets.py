@@ -73,3 +73,28 @@ def test_lineart_parity():
     params = jax.tree.map(jnp.asarray, convert_lineart_state_dict(net.state_dict()))
     got = np.asarray(lineart_forward(params, jnp.asarray(x.transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_hed_nms_parity():
+    """hed_nms matches the reference cv2 implementation (condition/hed.py:84-99)."""
+    add_reference_path()
+    from condition.hed import nms as ref_nms
+
+    from controlar_tpu.models.control_nets import hed_nms
+
+    rng = np.random.default_rng(0)
+    # smooth-ish synthetic edge map in 0..255 (blurred noise + ridges)
+    base = rng.uniform(0, 255, size=(64, 80)).astype(np.float32)
+    for sigma, t in [(3.0, 64.0), (2.0, 128.0)]:
+        ref = ref_nms(base.copy(), t, sigma)
+        ours = np.asarray(hed_nms(jnp.asarray(base), t, sigma))
+        assert ours.dtype == np.uint8 and ours.shape == ref.shape
+        # float blur rounding can flip pixels sitting exactly at threshold /
+        # max-tie boundaries; demand near-exact agreement
+        mismatch = (ours != ref).mean()
+        assert mismatch < 5e-3, mismatch
+
+    # batched input round-trips shape
+    out = np.asarray(hed_nms(jnp.asarray(np.stack([base, base])), 64.0, 3.0))
+    assert out.shape == (2, 64, 80)
+    np.testing.assert_array_equal(out[0], out[1])

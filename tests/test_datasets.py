@@ -96,3 +96,43 @@ def test_fid_sampler_shapes(tmp_path):
     assert out.shape == (5, 32, 32, 3)
     assert os.path.exists(tmp_path / "samples.npz")
     assert len(os.listdir(tmp_path / "images")) == 5
+
+
+def test_c2i_code_dataset_aug_dir_mixing(tmp_path):
+    """ten_crop_105 sibling trees are mixed in with p=0.5
+    (ref dataset/imagenet.py:16-27,53-61)."""
+    from controlar_tpu.data.t2i_control import C2ICodeDataset
+
+    base = tmp_path / "ten_crop"
+    aug = tmp_path / "ten_crop_105"
+    n = 8
+    for root, marker in [(base, 0), (aug, 1000)]:
+        for sub in ["codes", "labels", "cond"]:
+            os.makedirs(root / sub, exist_ok=True)
+        for i in range(n):
+            np.save(root / "codes" / f"{i}.npy",
+                    np.full((1, 2, 16), marker + i, dtype=np.int64))
+            np.save(root / "labels" / f"{i}.npy", np.array([marker + i]))
+            np.save(root / "cond" / f"{i}.npy",
+                    np.full((2, 4, 4), marker % 255, dtype=np.uint8))
+
+    ds = C2ICodeDataset(str(base / "codes"), str(base / "labels"),
+                        condition_imgs_dir=str(base / "cond"), seed=3)
+    assert ds.aug_code_dir == str(aug / "codes")
+    labels = [int(ds[i % n]["labels"]) for i in range(200)]
+    frac_aug = np.mean([l >= 1000 for l in labels])
+    assert 0.3 < frac_aug < 0.7, frac_aug
+    # code/label/cond stay consistent per item (same tree)
+    for i in range(50):
+        item = ds[i % n]
+        from_aug = item["labels"] >= 1000
+        assert (item["tokens"][0] >= 1000) == from_aug
+        assert (item["control_map"][0, 0] == (1000 % 255 if from_aug else 0)).all()
+
+    # no aug sibling -> always base
+    import shutil
+
+    shutil.rmtree(aug)
+    ds3 = C2ICodeDataset(str(base / "codes"), str(base / "labels"), seed=0)
+    assert ds3.aug_code_dir is None
+    assert all(int(ds3[i]["labels"]) < 1000 for i in range(n))

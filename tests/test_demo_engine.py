@@ -73,3 +73,83 @@ def test_ckpt_hot_swap(tmp_path):
     assert not np.allclose(a, b)  # weights actually swapped
     want = model.state_dict()["tok_embeddings.weight"].numpy()
     np.testing.assert_allclose(a, want, atol=1e-6)
+
+
+class _FakeComponent:
+    def __init__(self, kind, *args, **kwargs):
+        self.kind = kind
+        self.args = args
+        self.kwargs = kwargs
+        self.clicks = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def click(self, fn, inputs, outputs):
+        self.clicks.append((fn, inputs, outputs))
+        _FakeGradio.last.clicks.append((fn, inputs, outputs))
+
+
+class _FakeGradio:
+    """Minimal gradio stand-in recording component construction, so the
+    Blocks UI renders end-to-end without gradio installed."""
+
+    last = None
+
+    def __init__(self):
+        self.components = []
+        self.clicks = []
+        _FakeGradio.last = self
+
+    def _make(self, kind):
+        def ctor(*a, **k):
+            c = _FakeComponent(kind, *a, **k)
+            self.components.append(c)
+            return c
+        return ctor
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        return self._make(name)
+
+
+def test_blocks_ui_renders_and_runs():
+    """Two-tab UI (ref demo/app.py:20-31) renders against the gradio stub and
+    its click handler drives DemoEngine.process end to end."""
+    from controlar_tpu.demo import build_demo
+
+    eng = DemoEngine(_tiny_pipe)
+    gr = _FakeGradio()
+    demo = build_demo(eng, "c2i", _gr=gr)
+    assert demo is not None
+
+    kinds = [c.kind for c in gr.components]
+    assert kinds.count("TabItem") == 2
+    assert kinds.count("Tabs") == 1
+    assert kinds.count("Button") == 2
+    # edge tab has the canny threshold sliders (ref app_edge.py:46-57)
+    labels = [c.kwargs.get("label") for c in gr.components]
+    assert "Canny low threshold" in labels and "Canny high threshold" in labels
+
+    assert len(gr.clicks) == 2
+    img = np.zeros((24, 24, 3), np.uint8)
+    for fn, inputs, out in gr.clicks:
+        is_edge = len(inputs) == 12  # + canny threshold sliders
+        args = [img, "207", "Canny" if is_edge else "Depth",
+                4.0, 1.0, 16, 1.0, 1.0, 0, False]
+        if is_edge:
+            args += [100, 200]
+        else:
+            continue  # depth pipe needs a depth net; edge path covers run()
+        res = fn(*args)
+        assert res.shape[-1] == 3
+
+    # "No preprocess" routes through the tab's default checkpoint
+    fn, inputs, _ = [c for c in gr.clicks if len(c[1]) == 12][0]
+    res = fn(img, "207", "No preprocess", 4.0, 1.0, 16, 1.0, 1.0, 0, False,
+             100, 200)
+    assert res.shape[-1] == 3

@@ -1,0 +1,64 @@
+"""W4A16 packing + fused dequant-matmul kernel (ops/w4_matmul.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from controlar_tpu.ops.w4_matmul import (
+    GROUP,
+    dequantize_weight_w4,
+    quantize_weight_w4,
+    w4_matmul,
+)
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    for k, n in [(256, 128), (512, 256), (3200, 384)]:  # 3200 needs padding
+        w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
+        qw = quantize_weight_w4(w)
+        kp = ((k + 2 * GROUP - 1) // (2 * GROUP)) * (2 * GROUP)
+        assert qw["q4"].shape == (kp // 2, n) and qw["q4"].dtype == jnp.int8
+        assert qw["s"].shape == (kp // GROUP, n)
+        back = dequantize_weight_w4(qw, jnp.float32, k=k)
+        assert back.shape == (k, n)
+        # int4 group quantization: error bounded by s/2 per element
+        smax = np.asarray(qw["s"]).max()
+        err = np.abs(np.asarray(back) - np.asarray(w))
+        assert err.max() <= smax / 2 + 1e-6
+        # better than half the dynamic range by construction
+        rel = err.max() / np.abs(np.asarray(w)).max()
+        assert rel < 0.12, rel
+
+
+def test_w4_matmul_matches_dequant_reference():
+    rng = np.random.default_rng(1)
+    for b, k, n in [(16, 256, 256), (8, 3200, 384), (3, 512, 640)]:
+        x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32) * 0.1,
+                        dtype=jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+        qw = quantize_weight_w4(w)
+        want = np.asarray(
+            jnp.dot(x, dequantize_weight_w4(qw, jnp.bfloat16, k=k),
+                    preferred_element_type=jnp.float32)
+        )
+        got = np.asarray(
+            w4_matmul(x, qw["q4"], qw["s"], out_dtype=jnp.float32,
+                      interpret=True)
+        )
+        assert got.shape == (b, n)
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_w4_quality_vs_w8():
+    """int4 group-128 error stays within ~4x of int8 per-channel error at
+    gaussian weights (sanity: the serving-accuracy story)."""
+    from controlar_tpu.quant import quantize_weight, dequantize_weight
+
+    rng = np.random.default_rng(2)
+    w = jnp.asarray(rng.standard_normal((512, 256)).astype(np.float32))
+    e4 = np.abs(np.asarray(dequantize_weight_w4(quantize_weight_w4(w), jnp.float32, k=512)) - np.asarray(w)).mean()
+    e8 = np.abs(np.asarray(dequantize_weight(quantize_weight(w), jnp.float32)) - np.asarray(w)).mean()
+    assert e4 < 16 * e8  # 16x grid coarsening, grouped scales claw some back
+    assert e4 < 0.12  # mean |err| ~= s/4 = amax(group)/28 on unit gaussians
