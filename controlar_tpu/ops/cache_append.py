@@ -85,3 +85,74 @@ def cache_append_rows(
         cache,
     )
     return out
+
+
+def _block_kernel(pos_ref, rows_ref, cache_hbm, cache_out, buf, sem,
+                  *, window: int, k: int, wb: int):
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    aligned = pl.multiple_of((pos // window) * window, window)
+    r = pos - aligned
+
+    rd = pltpu.make_async_copy(
+        cache_hbm.at[b, pl.ds(aligned, wb), :], buf, sem
+    )
+    rd.start()
+    rd.wait()
+    hd = buf.shape[-1]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (wb, hd), 0)
+    merged = buf[:]
+    for j in range(k):
+        merged = jnp.where(rows == r + j, rows_ref[0, j], merged)
+    buf[:] = merged
+    wr = pltpu.make_async_copy(
+        buf, cache_out.at[b, pl.ds(aligned, wb), :], sem
+    )
+    wr.start()
+    wr.wait()
+
+
+@jax.jit
+def cache_append_block(
+    cache: jnp.ndarray,  # (B, S, HD)
+    rows: jnp.ndarray,   # (B, K, HD)
+    pos: jnp.ndarray,    # (B,) int32 — rows land at [pos[b], pos[b]+K)
+) -> jnp.ndarray:
+    """cache[b, pos[b] + j] = rows[b, j] for j < K, in place (aliased).
+
+    The speculative-verify primitive: one RMW of the aligned window(s)
+    covering the K-row span (K static, small). Requires
+    pos[b] + K <= S - window_slack; callers size S with one extra
+    alignment window of slack (spec_decode does).
+    """
+    import functools
+
+    b, s, hd = cache.shape
+    _, k, _ = rows.shape
+    window = _window_for(cache.dtype)
+    wb = ((window - 1 + k + window - 1) // window) * window
+    out = pl.pallas_call(
+        functools.partial(_block_kernel, window=window, k=k, wb=wb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, k, hd), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((wb, hd), cache.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(
+        pos.astype(jnp.int32),
+        rows.astype(cache.dtype),
+        cache,
+    )
+    return out

@@ -4,9 +4,9 @@ Decode at GPT-3B is weight-stream bound: the W8A16 path (quant.py) streams
 3.1 GB/step at ~0.65 TB/s. Halving the bytes again needs int4 — but jnp.int4
 arrays crash at transfer on this stack, and an XLA-level nibble unpack
 materializes a full VPU pass (~3 ops/elem) that erases the DMA win
-(NEXTSTEPS round-2 probe). This kernel unpacks per-tile in VMEM instead,
-overlapped with the grid pipeline's HBM block prefetch, so the VPU work runs
-under the DMA shadow.
+(NEXTSTEPS round-2 probe). This kernel unpacks per-chunk in VMEM instead,
+under the shadow of a manual NSLOT-deep DMA pipeline (28.7 us vs the 43.9 us
+W8A16 fused dot for a GPT-3B FFN weight on one v5e; pure-DMA floor 20.7 us).
 
 Packing layout ("group-pair planes"): the K (contraction) dim is padded to a
 multiple of 2*GROUP and split into pairs of adjacent GROUP-row planes; a
@@ -83,41 +83,57 @@ def dequantize_weight_w4(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16,
     return (w if k is None else w[:k]).astype(dtype)
 
 
-def _w4_kernel(x_ref, q_ref, s_ref, o_ref, *, bc: int, bn: int):
-    """Grid (N/bn, Kp/2/bc). Block step: unpack (bc, bn) carriers into
-    2*(bc, bn) int4 planes and accumulate their group-scaled dots."""
-    kb = pl.program_id(1)
+NSLOT = 4  # manual DMA pipeline depth (GROUP-row chunks of ~N bytes)
 
-    @pl.when(kb == 0)
-    def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
 
-    c = q_ref[:].astype(jnp.int32)
-    lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-    hi = (c >> 4).astype(jnp.bfloat16)
+def _w4_kernel(xe_ref, xo_ref, q_hbm, s_ref, o_ref, buf, sem,
+               *, nchunks: int):
+    """Single-program manual-DMA kernel: NSLOT-deep double buffering of
+    GROUP-row carrier chunks (full N width, contiguous HBM reads), unpack
+    (VPU) + two group dots (MXU) per chunk under the DMA shadow.
 
-    acc = o_ref[:]
-    for gi in range(bc // GROUP):
-        # carrier rows [kb*bc + gi*G, +G) hold planes 2p and 2p+1 where
-        # p = (kb*bc + gi*G) / G  ->  x rows 2p*G.. and (2p+1)*G..
-        p = kb * (bc // GROUP) + gi
-        x_lo = x_ref[:, pl.ds(pl.multiple_of(2 * p * GROUP, GROUP), GROUP)]
-        x_hi = x_ref[:, pl.ds(pl.multiple_of((2 * p + 1) * GROUP, GROUP), GROUP)]
-        d_lo = jnp.dot(x_lo, lo[gi * GROUP:(gi + 1) * GROUP],
-                       preferred_element_type=jnp.float32)
-        d_hi = jnp.dot(x_hi, hi[gi * GROUP:(gi + 1) * GROUP],
-                       preferred_element_type=jnp.float32)
-        s_lo = s_ref[pl.ds(2 * p, 1), :]
-        s_hi = s_ref[pl.ds(2 * p + 1, 1), :]
-        acc = acc + d_lo * s_lo + d_hi * s_hi
+    An auto-pipelined grid version measured 38.5 us/weight vs 28.7 us here
+    and a 20.7 us pure-DMA floor (GPT-3B FFN shape): Mosaic's grid pipeline
+    did not overlap the unpack with the block fetches; manual DMA does."""
+
+    def get(slot, i):
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(i * GROUP, GROUP), :], buf.at[slot],
+            sem.at[slot])
+
+    for w in range(min(NSLOT - 1, nchunks)):
+        get(w, w).start()
+
+    def body(p, acc):
+        slot = p % NSLOT
+
+        @pl.when(p + NSLOT - 1 < nchunks)
+        def _():
+            get((p + NSLOT - 1) % NSLOT, p + NSLOT - 1).start()
+
+        get(slot, p).wait()
+        c = buf[slot][:].astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        hi = (c >> 4).astype(jnp.bfloat16)
+        sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
+        sh = s_ref[pl.ds(2 * p + 1, 1), :].astype(jnp.float32)
+        xl = xe_ref[:, pl.ds(p * GROUP, GROUP)]
+        xh = xo_ref[:, pl.ds(p * GROUP, GROUP)]
+        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+        return acc + dl * sl + dh * sh
+
+    acc = jax.lax.fori_loop(
+        0, nchunks, body, jnp.zeros(o_ref.shape, jnp.float32))
     o_ref[:] = acc
 
 
-def _pick_bn(n: int) -> int:
-    for bn in (1024, 896, 768, 640, 512, 384, 256, 128):
-        if n % bn == 0:
-            return bn
-    raise ValueError(f"N={n} not a multiple of 128")
+def _plane_split(xp: jnp.ndarray):
+    """(B, Kp) -> even-plane and odd-plane halves, each (B, Kp/2)."""
+    bp, kp = xp.shape
+    xpl = xp.reshape(bp, kp // (2 * GROUP), 2, GROUP)
+    return (xpl[:, :, 0].reshape(bp, kp // 2),
+            xpl[:, :, 1].reshape(bp, kp // 2))
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -126,36 +142,35 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
     """x (B, K) bf16 @ w4 (K, N) -> (B, N) out_dtype.
 
     x is zero-padded to the carrier's padded Kp; B is padded to the bf16
-    sublane tile (16).
+    sublane tile (16). N must be a 128 multiple (all model dims are).
     """
     b, k = x.shape
     kp2, n = q4.shape
     kp = 2 * kp2
-    bn = _pick_bn(n)
-    bc = GROUP  # one group-pair of planes per grid step
+    nchunks = kp2 // GROUP
     bp = _pad_to(max(b, 16), 16)
     xp = jnp.zeros((bp, kp), jnp.bfloat16).at[:b, :k].set(x.astype(jnp.bfloat16))
+    xe, xo = _plane_split(xp)
 
-    grid = (n // bn, kp2 // bc)
     out = pl.pallas_call(
-        functools.partial(_w4_kernel, bc=bc, bn=bn),
-        grid=grid,
+        functools.partial(_w4_kernel, nchunks=nchunks),
         in_specs=[
-            pl.BlockSpec((bp, kp), lambda ni, ki: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bc, bn), lambda ni, ki: (ki, ni),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((kp // GROUP, bn), lambda ni, ki: (0, ni),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bp, bn), lambda ni, ki: (0, ni),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((NSLOT, GROUP, n), jnp.int8),
+            pltpu.SemaphoreType.DMA((NSLOT,)),
+        ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * kp * n,
             bytes_accessed=kp2 * n + xp.nbytes + s.nbytes + bp * n * 4,
             transcendentals=0,
         ),
-    )(xp, q4, s)
+    )(xe, xo, q4, s)
     return out[:b].astype(out_dtype)

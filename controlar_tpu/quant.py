@@ -38,6 +38,10 @@ def is_quantized(w: Any) -> bool:
     return isinstance(w, dict) and "q" in w and "s" in w
 
 
+def is_quantized_w4(w: Any) -> bool:
+    return isinstance(w, dict) and "q4" in w and "s" in w
+
+
 def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Symmetric per-output-channel int8: w (..., in, out) -> q/s.
 
@@ -67,6 +71,19 @@ def wdot(x: jnp.ndarray, w: Union[jnp.ndarray, Dict[str, jnp.ndarray]]) -> jnp.n
             x, w["q"].astype(jnp.bfloat16), preferred_element_type=jnp.float32
         )
         return (acc * w["s"]).astype(x.dtype)
+    if is_quantized_w4(w):
+        from controlar_tpu.ops.w4_matmul import dequantize_weight_w4, w4_matmul
+
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
+        if jax.default_backend() == "tpu" and x2.shape[0] <= 256:
+            out = w4_matmul(x2, w["q4"], w["s"], out_dtype=x.dtype)
+        else:
+            # prefill/train/CPU fallback: materialize the bf16 weight once
+            wd = dequantize_weight_w4(w, jnp.bfloat16, k=x.shape[-1])
+            out = jnp.dot(x2, wd, preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+        return out.reshape(*lead, out.shape[-1])
     return x @ w
 
 
@@ -91,6 +108,38 @@ def quantize_gpt_params(
     out["layers"] = layers
     for k in TOP_QUANT_KEYS:
         if k in out and k not in keep:
+            out[k] = quantize_weight(out[k])
+    return out
+
+
+def quantize_gpt_params_w4(
+    params: Params, keep: Sequence[str] = ()
+) -> Params:
+    """W4 (int4 group-128, ops/w4_matmul.py) variant of quantize_gpt_params.
+
+    Must run on the UNSTACKED layout (after decode.unstack_layers): the
+    nibble packing pads K per weight, which the stacked (L, ...) tree can't
+    carry uniformly. The output head goes to int8 (W8A16), not W4, for logit
+    fidelity — it is <2% of streamed bytes at GPT-3B.
+    """
+    from controlar_tpu.ops.w4_matmul import quantize_weight_w4
+
+    if not isinstance(params["layers"], (list, tuple)):
+        raise ValueError("quantize_gpt_params_w4 needs the unstacked layout "
+                         "(call decode.unstack_layers first)")
+    out = dict(params)
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        for k in LAYER_QUANT_KEYS:
+            if k in lp and k not in keep:
+                w = lp[k]
+                lp[k] = quantize_weight_w4(
+                    dequantize_weight(w) if is_quantized(w) else w)
+        layers.append(lp)
+    out["layers"] = tuple(layers)
+    for k in TOP_QUANT_KEYS:
+        if k in out and k not in keep and not is_quantized(out[k]):
             out[k] = quantize_weight(out[k])
     return out
 

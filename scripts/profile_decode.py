@@ -50,7 +50,10 @@ def main():
 
     def make_steps(pos0):
         @jax.jit
-        def run(qp, caches, tok):
+        def run(qp, tok):
+            # caches created in-graph: the Pallas RMW append aliases its
+            # input buffer, so host-held cache arrays must not be reused
+            caches = dec.init_flat_caches(cfg, b, s_max, jnp.int8)
             def body(carry, i):
                 caches, tok = carry
                 logits, caches = dec.decode_step_flat(
@@ -61,13 +64,12 @@ def main():
             return tok
         return run
 
-    caches = dec.init_flat_caches(cfg, b, s_max, jnp.int8)
     tok = jnp.zeros((b,), jnp.int32)
 
-    t_empty = timeit(lambda: make_steps(1)(qp, caches, tok)) / steps
-    t_full = timeit(lambda: make_steps(s_max - steps - 1)(qp, caches, tok)) / steps
-    print(f"{args.size} int8 b={b}: step(empty cache) {t_empty*1e3:.3f} ms, "
-          f"step(full cache) {t_full*1e3:.3f} ms, kv delta {(t_full-t_empty)*1e3:.3f} ms")
+    t_empty = timeit(lambda: make_steps(1)(qp, tok)) / steps
+    print(f"{args.size} int8 b={b}: step(empty cache) {t_empty*1e3:.3f} ms", flush=True)
+    t_full = timeit(lambda: make_steps(s_max - steps - 1)(qp, tok)) / steps
+    print(f"  step(full cache) {t_full*1e3:.3f} ms, kv delta {(t_full-t_empty)*1e3:.3f} ms", flush=True)
     print(f"  weight bytes {nbytes/1e9:.3f} GB -> empty-cache stream "
           f"{nbytes/t_empty/1e12:.3f} TB/s")
 

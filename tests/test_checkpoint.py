@@ -18,6 +18,7 @@ CFG = GPTConfig(model_type="c2i", dim=32, n_layer=2, n_head=2, cls_token_num=1,
                 block_size=16, vocab_size=64, num_classes=4)
 
 
+@pytest.mark.slow
 def test_orbax_train_state_roundtrip(tmp_path):
     tx = make_optimizer()
     rng = jax.random.PRNGKey(0)

@@ -14,6 +14,8 @@ from controlar_tpu.models import vit as jvit
 from controlar_tpu.pipeline import ControlARPipeline
 from controlar_tpu.eval.consistency import consistency_eval
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_pipe():

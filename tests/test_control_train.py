@@ -12,10 +12,13 @@ from controlar_tpu.models import gpt as gpt_model, vit as vit_model
 from controlar_tpu.train.optimizer import make_optimizer
 from controlar_tpu.train.step import init_train_state
 from controlar_tpu.train.control_step import (
+
     build_t2i_attn_mask,
     extract_condition_on_device,
     make_control_train_step,
 )
+
+pytestmark = pytest.mark.slow
 
 IMG = 64
 CFG = GPTConfig(

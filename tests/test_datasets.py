@@ -8,6 +8,7 @@ import jax
 
 from controlar_tpu.data.t2i_jsonl import T2IJsonlConfig, Text2ImgJsonlDataset
 from controlar_tpu.data.loader import ShardedLoader
+import pytest
 
 
 def _make_tree(tmp_path, n=4, image_size=32):
@@ -73,6 +74,7 @@ def test_sharded_loader_partitions():
     assert sorted(seen) == list(range(20))
 
 
+@pytest.mark.slow
 def test_fid_sampler_shapes(tmp_path):
     from controlar_tpu.config import GPTConfig, VQConfig
     from controlar_tpu.models import gpt as jgpt, vq as jvq, vit as jvit

@@ -37,6 +37,7 @@ def _tiny_pipe(condition_type):
     )
 
 
+@pytest.mark.slow
 def test_process_and_pipe_cache():
     eng = DemoEngine(_tiny_pipe)
     img = np.random.default_rng(0).integers(0, 255, (48, 48, 3), np.uint8)
@@ -46,6 +47,7 @@ def test_process_and_pipe_cache():
     assert eng.get_pipe("canny") is eng.get_pipe("canny")  # cached
 
 
+@pytest.mark.slow
 def test_ckpt_hot_swap(tmp_path):
     """A per-condition checkpoint replaces the GPT weights at pipe build
     (the reference's load_gpt_weight safetensors reload)."""

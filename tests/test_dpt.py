@@ -8,6 +8,8 @@ import jax.numpy as jnp
 from controlar_tpu.models.dpt import DPTConfig, dpt_depth
 from controlar_tpu.convert.torch_dpt import convert_dpt_state_dict
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dpt_setup():

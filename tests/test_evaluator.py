@@ -13,9 +13,12 @@ import pytest
 from controlar_tpu.eval import evaluator as ev
 from controlar_tpu.eval import inception as inc
 from controlar_tpu.convert.torch_inception import (
+
     convert_inception_state_dict,
     export_inception_state_dict,
 )
+
+pytestmark = pytest.mark.slow
 
 
 @pytest.fixture(scope="module")

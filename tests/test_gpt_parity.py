@@ -79,6 +79,7 @@ def c2i_setup():
     return small_cfgs(t2i=False)
 
 
+@pytest.mark.slow
 def test_train_forward_t2i(t2i_setup):
     import torch
 

@@ -7,6 +7,7 @@ import jax.numpy as jnp
 from controlar_tpu.eval.metrics import (
     F1score, RMSE, SSIM, FIDStats, frechet_distance, ms_ssim,
 )
+import pytest
 
 
 def test_f1_matches_sklearn():
@@ -30,6 +31,7 @@ def test_rmse():
     assert abs(m.calculate() - np.sqrt(np.mean((a - b) ** 2))) < 1e-9
 
 
+@pytest.mark.slow
 def test_ms_ssim_identity_and_monotonicity():
     rng = np.random.default_rng(2)
     img = rng.uniform(0, 1, (1, 192, 192, 1)).astype(np.float32)

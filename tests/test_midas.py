@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from tests.conftest import add_reference_path
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ref_and_jax():

@@ -11,6 +11,7 @@ from controlar_tpu.train.optimizer import make_optimizer
 from controlar_tpu.train.step import init_train_state
 from controlar_tpu.train.control_step import make_control_train_step
 from controlar_tpu.eval.reconstruction import reconstruction_eval
+import pytest
 
 
 def test_seg_condition_training_path():
@@ -63,6 +64,7 @@ def test_drop_path_changes_training_forward_only():
     assert not np.allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_reconstruction_eval(tmp_path):
     cfg = VQConfig(codebook_size=64, codebook_embed_dim=8, z_channels=16, ch=16)
     params = jvq.init_vq_params(jax.random.PRNGKey(0), cfg)

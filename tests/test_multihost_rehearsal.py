@@ -1,9 +1,12 @@
 """The 2-process CPU-loopback training rehearsal as a suite test: spawns the
 driver script (scripts/rehearse_multihost.py) in a subprocess tree and
 asserts the PASS line (single-process vs 2-process loss equality)."""
+import pytest
 import os
 import subprocess
 import sys
+
+pytestmark = pytest.mark.slow
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 

@@ -1,5 +1,6 @@
 """Multiscale training: bucket sampling respects the token budget; the step
 runs at two different bucket shapes with online VQ encoding."""
+import pytest
 import numpy as np
 
 import jax
@@ -10,10 +11,13 @@ from controlar_tpu.models import gpt as gpt_model, vit as vit_model, vq as vq_mo
 from controlar_tpu.train.optimizer import make_optimizer
 from controlar_tpu.train.step import init_train_state
 from controlar_tpu.train.multiscale import (
+
     make_multiscale_train_step,
     resolution_buckets,
     sample_bucket,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def test_buckets_respect_budget():

@@ -68,6 +68,7 @@ def test_quantize_gpt_params_structure():
     assert quant.is_quantized(qp2["layers"]["wo"])
 
 
+@pytest.mark.slow
 def test_quantized_decode_logits_close_and_generate_runs():
     """Decode logits through the int8 tree stay close to bf16, and the full
     generate() loop runs on the quantized tree (incl. unstack_layers)."""

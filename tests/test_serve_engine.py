@@ -1,5 +1,6 @@
 """Continuous-batching engine: greedy outputs match the offline generate loop
 even with more requests than slots and staggered admission (CPU/XLA path)."""
+import pytest
 import numpy as np
 
 import jax
@@ -9,6 +10,8 @@ from controlar_tpu.config import GPTConfig
 from controlar_tpu.models import gpt as jgpt
 from controlar_tpu import generate as jgen
 from controlar_tpu.serve.engine import Request, ServeConfig, ServeEngine
+
+pytestmark = pytest.mark.slow
 
 CFG = GPTConfig(
     model_type="c2i", dim=64, n_layer=4, n_head=2, cls_token_num=1,

@@ -1,4 +1,5 @@
 """t2i serving with left-padded captions matches the offline generate loop."""
+import pytest
 import numpy as np
 
 import jax
@@ -8,6 +9,8 @@ from controlar_tpu.config import GPTConfig
 from controlar_tpu.models import gpt as jgpt
 from controlar_tpu import generate as jgen
 from controlar_tpu.serve.engine import Request, ServeConfig, ServeEngine
+
+pytestmark = pytest.mark.slow
 
 CFG = GPTConfig(
     model_type="t2i", dim=64, n_layer=4, n_head=2, cls_token_num=120,

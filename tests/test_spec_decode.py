@@ -1,0 +1,242 @@
+"""Speculative decode: greedy output must EXACTLY equal vanilla greedy
+decode for ANY draft (rejections fall back to the target's own argmax)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from controlar_tpu import generate as jgen
+from controlar_tpu import spec_decode
+from controlar_tpu.config import GPTConfig
+from controlar_tpu.models import gpt as jgpt
+from controlar_tpu import quant
+
+
+def _c2i_cfg(**kw):
+    d = dict(model_type="c2i", dim=64, n_layer=3, n_head=4, cls_token_num=1,
+             block_size=16, vocab_size=96, num_classes=10)
+    d.update(kw)
+    return GPTConfig(**d)
+
+
+def _vanilla(params, cfg, **kw):
+    return np.asarray(jgen.generate(
+        params, cfg, max_new_tokens=cfg.block_size, sample_logits=False,
+        rng=jax.random.PRNGKey(0), use_flash=False, **kw))
+
+
+def test_spec_equals_vanilla_c2i_cfg():
+    cfg = _c2i_cfg()
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    labels = jnp.arange(4)
+    want = _vanilla(params, cfg, labels=labels, cfg_scale=2.0, cfg_interval=14)
+
+    # draft = int8 self-quantization (the realistic config)
+    qp = quant.quantize_gpt_params(params)
+    got, stats = spec_decode.generate_spec(
+        params, cfg, qp, labels=labels, max_new_tokens=cfg.block_size,
+        cfg_scale=2.0, cfg_interval=14, k_draft=4, use_flash=False,
+        return_stats=True,
+    )
+    assert (np.asarray(got) == want).all()
+    acc = float(stats["accepted_per_cycle"])
+    assert 1.0 <= acc <= 4.0
+    # int8 drafts of the same model should mostly agree
+    assert acc > 1.2, acc
+
+    # draft = UNRELATED random weights: still exact, low acceptance
+    junk = jgpt.init_gpt_params(jax.random.PRNGKey(7), cfg)
+    got2, stats2 = spec_decode.generate_spec(
+        params, cfg, junk, labels=labels, max_new_tokens=cfg.block_size,
+        cfg_scale=2.0, cfg_interval=14, k_draft=4, use_flash=False,
+        return_stats=True,
+    )
+    assert (np.asarray(got2) == want).all()
+    assert float(stats2["accepted_per_cycle"]) < acc
+
+
+def test_spec_equals_vanilla_no_cfg_and_k_sweep():
+    cfg = _c2i_cfg(n_layer=2)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(1), cfg)
+    labels = jnp.asarray([3, 5])
+    want = _vanilla(params, cfg, labels=labels, cfg_scale=1.0)
+    qp = quant.quantize_gpt_params(params)
+    for k in (2, 3, 5, 8):
+        got = spec_decode.generate_spec(
+            params, cfg, qp, labels=labels, max_new_tokens=cfg.block_size,
+            cfg_scale=1.0, k_draft=k, use_flash=False,
+        )
+        assert (np.asarray(got) == want).all(), k
+
+
+def test_spec_cross_size_draft():
+    """Smaller family member drafting for a larger target (the classic
+    deployment), with an int8 KV cache on the target."""
+    cfg = _c2i_cfg()
+    dcfg = _c2i_cfg(dim=32, n_layer=2, n_head=2)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    draft = jgpt.init_gpt_params(jax.random.PRNGKey(1), dcfg)
+    labels = jnp.arange(3)
+    want = _vanilla(params, cfg, labels=labels, cfg_scale=1.5,
+                    cache_dtype=jnp.int8)
+    got = spec_decode.generate_spec(
+        params, cfg, draft, dcfg, labels=labels,
+        max_new_tokens=cfg.block_size, cfg_scale=1.5, k_draft=3,
+        cache_dtype=jnp.int8, draft_cache_dtype=jnp.bfloat16,
+        use_flash=False,
+    )
+    assert (np.asarray(got) == want).all()
+
+
+def test_spec_t2i_emb_masks():
+    cfg = GPTConfig(model_type="t2i", dim=64, n_layer=2, n_head=4,
+                    cls_token_num=6, block_size=16, vocab_size=64,
+                    caption_dim=48)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(2), cfg)
+    rng = np.random.default_rng(0)
+    cap = jnp.asarray(rng.standard_normal((2, 6, 48)), jnp.float32)
+    masks = jnp.asarray([[0, 0, 1, 1, 1, 1], [0, 1, 1, 1, 1, 1]], jnp.int32)
+    feats = jnp.asarray(rng.standard_normal((2, 16, cfg.adapter_dim)),
+                        jnp.float32)
+    kw = dict(caption_emb=cap, emb_masks=masks, adapter_features=feats,
+              cfg_scale=3.0, control_strength=0.7)
+    want = _vanilla(params, cfg, **kw)
+    qp = quant.quantize_gpt_params(params)
+    got = spec_decode.generate_spec(
+        params, cfg, qp, max_new_tokens=cfg.block_size, k_draft=4,
+        use_flash=False, **kw)
+    assert (np.asarray(got) == want).all()
+
+
+def test_forward_chunk_matches_sequential_steps():
+    """forward_chunk logits at per-row positions == k sequential
+    decode_step_flat calls."""
+    from controlar_tpu import decode as dec
+
+    cfg = _c2i_cfg(n_layer=2)
+    params = dec.unstack_layers(
+        jgpt.init_gpt_params(jax.random.PRNGKey(3), cfg))
+    b, k, s_max = 2, 3, 96
+    caches = dec.init_flat_caches(cfg, b, s_max)
+    prefix = jgpt.embed_prefix_c2i(params, jnp.asarray([1, 2]))
+    logits0, caches = dec.prefill_flat(params, cfg, caches, prefix, None, None)
+    toks = jnp.asarray([[5, 6, 7], [8, 9, 10]], jnp.int32)
+
+    seq_caches = caches
+    seq_logits = []
+    for j in range(k):
+        lg, seq_caches = dec.decode_step_flat(
+            params, cfg, seq_caches, toks[:, j], jnp.asarray(1 + j), None,
+            None, use_flash=False)
+        seq_logits.append(lg)
+    want = np.stack([np.asarray(x) for x in seq_logits], axis=1)
+
+    got, chunk_caches = spec_decode.forward_chunk(
+        params, cfg, caches, toks, jnp.asarray([1, 1]), use_flash=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+    for a, bcache in zip(jax.tree.leaves(chunk_caches),
+                         jax.tree.leaves(seq_caches)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bcache),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def _naive_chunk_attn(q, kv, pos, col_bias, n_head):
+    """q (B,K,HD), kv (B,S,2HD) f32; query j sees cols <= pos[b]+j."""
+    b, k, hd = q.shape
+    s = kv.shape[1]
+    d = hd // n_head
+    kk = kv[:, :, :hd].reshape(b, s, n_head, d)
+    vv = kv[:, :, hd:].reshape(b, s, n_head, d)
+    qq = q.reshape(b, k, n_head, d)
+    scores = np.einsum("bkhd,bshd->bhks", qq, kk) / np.sqrt(d)
+    cols = np.arange(s)
+    allow = cols[None, None, :] <= (pos[:, None] + np.arange(k)[None])[:, :, None]
+    scores = np.where(allow[:, None], scores, -np.inf)
+    if col_bias is not None:
+        scores = scores + col_bias[:, None, None, :]
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhks,bshd->bkhd", p, vv).reshape(b, k, hd)
+
+
+def test_flash_chunk_kernel_matches_naive():
+    from controlar_tpu.ops.flash_chunk import flash_chunk_attention
+
+    rng = np.random.default_rng(0)
+    B, K, H, D, S = 3, 4, 2, 8, 128
+    hd = H * D
+    kv = rng.standard_normal((B, S, 2 * hd)).astype(np.float32) * 0.5
+    q = rng.standard_normal((B, K, hd)).astype(np.float32) * 0.5
+    pos = np.asarray([5, 63, 100], np.int32)
+    bias = np.where(rng.random((B, S)) < 0.2, -1e9, 0.0).astype(np.float32)
+
+    want = _naive_chunk_attn(
+        jnp.asarray(q, jnp.bfloat16).astype(np.float32),
+        jnp.asarray(kv, jnp.bfloat16).astype(np.float32), pos, bias, H)
+    got = np.asarray(flash_chunk_attention(
+        jnp.asarray(q), jnp.asarray(kv, jnp.bfloat16), jnp.asarray(pos),
+        jnp.asarray(bias), n_head=H, block=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+    # no-bias path
+    want = _naive_chunk_attn(
+        jnp.asarray(q, jnp.bfloat16).astype(np.float32),
+        jnp.asarray(kv, jnp.bfloat16).astype(np.float32), pos, None, H)
+    got = np.asarray(flash_chunk_attention(
+        jnp.asarray(q), jnp.asarray(kv, jnp.bfloat16), jnp.asarray(pos),
+        None, n_head=H, block=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_flash_chunk_q8_matches_dequant():
+    from controlar_tpu.ops.flash_chunk import (
+        flash_chunk_attention, flash_chunk_attention_q8)
+    from controlar_tpu.quant import quantize_kv_rows
+    from controlar_tpu import decode as dec
+
+    rng = np.random.default_rng(1)
+    B, K, H, D, S = 2, 3, 2, 8, 128
+    hd = H * D
+    kv = rng.standard_normal((B, S, 2 * hd)).astype(np.float32)
+    qkv, scales = quantize_kv_rows(jnp.asarray(kv), H)
+    scales = dec._pad_scales(scales, H)
+    q = rng.standard_normal((B, K, hd)).astype(np.float32) * 0.5
+    pos = np.asarray([10, 90], np.int32)
+
+    from controlar_tpu.quant import dequantize_kv_slab
+
+    deq = dequantize_kv_slab(qkv, scales, H, jnp.float32)
+    want = np.asarray(flash_chunk_attention(
+        jnp.asarray(q), deq.astype(jnp.bfloat16), jnp.asarray(pos),
+        None, n_head=H, block=64, interpret=True))
+    got = np.asarray(flash_chunk_attention_q8(
+        jnp.asarray(q), qkv, scales, jnp.asarray(pos), None, n_head=H,
+        block=64, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_cache_append_block_interpret():
+    """K-row RMW block append == vmapped dynamic_update_slice."""
+    import functools
+    from jax.experimental import pallas as pl
+    from controlar_tpu.ops import cache_append as ca
+
+    rng = np.random.default_rng(2)
+    for dtype, window in [(jnp.bfloat16, 8), (jnp.int8, 32)]:
+        B, S, HD, K = 3, 128, 256, 5
+        cache = jnp.asarray(rng.standard_normal((B, S, HD)) * 3, dtype)
+        rows = jnp.asarray(rng.standard_normal((B, K, HD)) * 3, dtype)
+        pos = jnp.asarray([0, 31, 77], jnp.int32)
+        want = jax.vmap(
+            lambda c, r, p: jax.lax.dynamic_update_slice(c, r, (p, 0))
+        )(cache, rows, pos)
+
+        # run the kernel in interpret mode via a patched pallas_call
+        orig = pl.pallas_call
+        try:
+            pl.pallas_call = functools.partial(orig, interpret=True)
+            got = ca.cache_append_block(cache, rows, pos)
+        finally:
+            pl.pallas_call = orig
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -1,5 +1,6 @@
 """StyleGAN discriminator parity vs the reference module (kornia's filter2d
 is stubbed with its documented semantics: normalized kernel, reflect pad)."""
+import pytest
 import sys
 import types
 
@@ -14,6 +15,8 @@ from controlar_tpu.models.discriminators import (
     stylegan_disc_forward,
 )
 from tests.conftest import add_reference_path
+
+pytestmark = pytest.mark.slow
 
 
 def _stub_kornia():

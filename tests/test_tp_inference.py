@@ -20,6 +20,8 @@ from controlar_tpu import generate as jgen
 from controlar_tpu.parallel.mesh import make_mesh
 from controlar_tpu.parallel.sharding import gpt_param_specs
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
 def test_generate_tp_sharded_matches_single_device():

@@ -14,6 +14,8 @@ from controlar_tpu.parallel.sharding import batch_spec, shard_params
 from controlar_tpu.train.optimizer import make_optimizer, decay_mask
 from controlar_tpu.train.step import init_train_state, make_train_step
 
+pytestmark = pytest.mark.slow
+
 
 CFG = GPTConfig(
     model_type="t2i", dim=64, n_layer=6, n_head=2, block_size=16,

@@ -16,6 +16,8 @@ from controlar_tpu.data.t2i_control import T2IControlCodeDataset, T2IControlConf
 from controlar_tpu.data.loader import ShardedLoader
 from controlar_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.slow
+
 
 class _FakeT5:
     def get_text_embeddings(self, texts):

@@ -28,6 +28,7 @@ def vq_setup():
     return model, cfg, params
 
 
+@pytest.mark.slow
 def test_encode_indices_match(vq_setup):
     import torch
 

@@ -19,6 +19,8 @@ from controlar_tpu.train.vq_loss import quantize_with_losses
 from controlar_tpu.train.vq_step import init_vq_train_state, make_vq_train_step
 from tests.conftest import add_reference_path
 
+pytestmark = pytest.mark.slow
+
 
 def test_patchgan_parity():
     add_reference_path()

@@ -62,3 +62,39 @@ def test_w4_quality_vs_w8():
     e8 = np.abs(np.asarray(dequantize_weight(quantize_weight(w), jnp.float32)) - np.asarray(w)).mean()
     assert e4 < 16 * e8  # 16x grid coarsening, grouped scales claw some back
     assert e4 < 0.12  # mean |err| ~= s/4 = amax(group)/28 on unit gaussians
+
+
+def test_w4_generate_runs_and_close():
+    """Full decode with W4-quantized params (CPU dequant fallback path)."""
+    from controlar_tpu import decode as dec, generate as jgen
+    from controlar_tpu.config import GPTConfig
+    from controlar_tpu.models import gpt as jgpt
+    from controlar_tpu.quant import quantize_gpt_params_w4
+
+    cfg = GPTConfig(model_type="c2i", dim=128, n_layer=2, n_head=2,
+                    cls_token_num=1, block_size=16, vocab_size=64,
+                    num_classes=8)
+    params = dec.unstack_layers(
+        jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg))
+    w4p = quantize_gpt_params_w4(params)
+    # head is int8, big mats are w4 dicts
+    assert "q" in w4p["output"] and "q4" in w4p["layers"][0]["w1"]
+
+    kw = dict(labels=jnp.arange(4), max_new_tokens=16, cfg_scale=2.0,
+              sample_logits=False, rng=jax.random.PRNGKey(1), use_flash=False)
+    ref = np.asarray(jgen.generate(params, cfg, **kw))
+    got = np.asarray(jgen.generate(w4p, cfg, **kw))
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    assert (got >= 0).all() and (got < cfg.vocab_size).all()
+
+    # pointwise quality: prefill logits stay close (token-level divergence
+    # compounds autoregressively, so tokens are only a smoke check)
+    from controlar_tpu import decode as dec2
+
+    caches = dec2.init_flat_caches(cfg, 2, 24)
+    prefix = jgpt.embed_prefix_c2i(params, jnp.asarray([1, 2]))
+    l_ref, _ = dec2.prefill_flat(params, cfg, caches, prefix, None, None)
+    l_w4, _ = dec2.prefill_flat(w4p, cfg, caches, prefix, None, None)
+    rel = np.abs(np.asarray(l_w4) - np.asarray(l_ref)).max() / (
+        np.abs(np.asarray(l_ref)).max() + 1e-9)
+    assert rel < 0.25, rel
