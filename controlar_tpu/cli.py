@@ -181,10 +181,15 @@ def cmd_train_t2i(args):
         results_dir=args.results_dir, gpt_ckpt=args.gpt_ckpt,
         resume_dir=args.resume_dir, ema=args.ema,
     )
-    ds = T2IControlCodeDataset(T2IControlConfig(
-        code_path=args.code_path, condition_type=args.condition_type,
-        image_size=args.image_size,
-    ))
+    if args.code_path.endswith(".car"):
+        from controlar_tpu.data.carpack import CarpackControlDataset
+
+        ds = CarpackControlDataset(args.code_path)
+    else:
+        ds = T2IControlCodeDataset(T2IControlConfig(
+            code_path=args.code_path, condition_type=args.condition_type,
+            image_size=args.image_size,
+        ))
     loader = ShardedLoader(
         ds, batch_size=args.global_batch_size // jax.process_count(),
         process_index=jax.process_index(), process_count=jax.process_count(),
@@ -213,15 +218,45 @@ def cmd_train_c2i(args):
         epochs=args.epochs, results_dir=args.results_dir,
         gpt_ckpt=args.gpt_ckpt, resume_dir=args.resume_dir, ema=args.ema,
     )
-    ds = C2ICodeDataset(
-        code_dir=args.code_dir, label_dir=args.label_dir,
-        condition_imgs_dir=args.condition_dir, flip_aug=not args.no_flip_aug,
-    )
+    if args.code_dir.endswith(".car"):
+        from controlar_tpu.data.carpack import CarpackControlDataset
+
+        ds = CarpackControlDataset(args.code_dir)
+    else:
+        if not args.label_dir:
+            raise SystemExit("--label-dir is required for tree input")
+        ds = C2ICodeDataset(
+            code_dir=args.code_dir, label_dir=args.label_dir,
+            condition_imgs_dir=args.condition_dir, flip_aug=not args.no_flip_aug,
+        )
     loader = ShardedLoader(
         ds, batch_size=args.global_batch_size // jax.process_count(),
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
     Trainer(tcfg).fit(loader, max_steps=args.max_steps)
+
+
+def cmd_pack_data(args):
+    """Pack an extracted control tree into one .car file (csrc/carpack.cpp
+    reader) for the production input pipeline: replaces per-sample tiny-file
+    reads (ref dataset/t2i_control.py:104-121) with one mmap'd record file.
+    `train-t2i --code-path x.car` / `train-c2i --code-dir x.car` consume it."""
+    from controlar_tpu.data.carpack import pack_control_dataset
+
+    if args.format == "t2i":
+        from controlar_tpu.data.t2i_control import (
+            T2IControlCodeDataset, T2IControlConfig)
+
+        ds = T2IControlCodeDataset(T2IControlConfig(
+            code_path=args.code_path, condition_type=args.condition_type,
+            image_size=args.image_size))
+    else:
+        from controlar_tpu.data.t2i_control import C2ICodeDataset
+
+        ds = C2ICodeDataset(code_dir=args.code_path, label_dir=args.label_dir,
+                            condition_imgs_dir=args.condition_dir)
+    n = pack_control_dataset(ds, args.out, limit=args.limit)
+    print(f"packed {n} records -> {args.out}")
 
 
 def cmd_sample_t2i(args):
@@ -675,10 +710,23 @@ def main(argv=None):
     p.add_argument("--dist-process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train_t2i)
 
+    p = sub.add_parser("pack-data")
+    p.add_argument("--format", choices=["t2i", "c2i"], default="t2i")
+    p.add_argument("--code-path", required=True,
+                   help="extracted tree root (t2i) or codes dir (c2i)")
+    p.add_argument("--label-dir", default=None, help="c2i labels dir")
+    p.add_argument("--condition-dir", default=None)
+    p.add_argument("--condition-type", default="canny")
+    p.add_argument("--image-size", type=int, default=512)
+    p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--out", required=True, help="output .car path")
+    p.set_defaults(fn=cmd_pack_data)
+
     p = sub.add_parser("train-c2i")
     _add_model_args(p)
     p.add_argument("--code-dir", required=True, help="imagenet{S}_codes dir")
-    p.add_argument("--label-dir", required=True, help="imagenet{S}_labels dir")
+    p.add_argument("--label-dir", default=None,
+                   help="imagenet{S}_labels dir (not needed for .car input)")
     p.add_argument("--condition-dir", default=None,
                    help="imagenet{S}_<cond>_imagesnpy dir (None: on-device "
                         "extraction from control images in the batch)")

@@ -224,3 +224,70 @@ def pack_tree(tree_dir: str, out_path: str, condition_type: str = "canny"):
                 rec["control"] = np.asarray(Image.open(ctrl_path), np.uint8)
             w.write(rec)
     return n
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline integration
+# ---------------------------------------------------------------------------
+
+def pack_control_dataset(ds, out_path: str, limit: Optional[int] = None) -> int:
+    """Pack ANY control dataset's items (T2IControlCodeDataset,
+    C2ICodeDataset, ...) into one .car file, field-for-field.
+
+    The packed items are byte-identical to the source dataset's, so training
+    from the .car reproduces the tree run exactly (modulo loader shuffling,
+    which is seed-driven and dataset-agnostic). Skips items with valid == 0
+    (broken source files) — the packed file is fully dense.
+    """
+    n = len(ds) if limit is None else min(limit, len(ds))
+    written = 0
+    with CarpackWriter(out_path) as w:
+        for i in range(n):
+            item = ds[i]
+            if float(item.get("valid", 1.0)) == 0.0:
+                continue
+            rec = {}
+            for k, v in item.items():
+                if isinstance(v, str):
+                    rec[k] = v.encode()
+                else:
+                    rec[k] = np.ascontiguousarray(v)
+            w.write(rec)
+            written += 1
+    return written
+
+
+class CarpackControlDataset:
+    """Training dataset over a packed .car file (drop-in for the tree
+    datasets in the trainer/CLI: same item dicts, same make_batch).
+
+    This is the production input path the reference lacks: one mmap'd file
+    instead of millions of tiny .npy/.png reads (ref dataset/
+    t2i_control.py:104-121); the native reader serves zero-copy field views.
+    """
+
+    def __init__(self, path: str, force_python: bool = False):
+        self.reader = CarpackReader(path, force_python=force_python)
+        self.native = self.reader.native
+
+    def __len__(self):
+        return len(self.reader)
+
+    def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
+        rec = self.reader[i]
+        out = {}
+        for k, v in rec.items():
+            out[k] = v.decode() if isinstance(v, bytes) else v
+        if "valid" not in out:
+            out["valid"] = np.float32(1.0)
+        return out
+
+    def make_batch(self, items: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        keys = items[0].keys()
+        out = {}
+        for k in keys:
+            if k == "prompt":
+                out[k] = [it[k] for it in items]
+            else:
+                out[k] = np.stack([np.asarray(it[k]) for it in items])
+        return out

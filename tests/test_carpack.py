@@ -1,5 +1,6 @@
 """carpack packed-dataset format: native C++ reader vs writer round trip,
 Python-reader equivalence, tree packing."""
+import os
 import numpy as np
 import pytest
 
@@ -76,3 +77,74 @@ def test_pack_tree(tmp_path):
     item = r[0]
     assert item["tokens"].shape == (4, 4)
     assert item["image"].shape == (16, 16, 3)
+
+
+@pytest.mark.slow
+def test_pack_then_train_matches_tree(tmp_path):
+    """The production claim: pack -> train == tree -> train, loss-for-loss."""
+    import jax
+    from controlar_tpu.config import VQConfig
+    from controlar_tpu.models import vq as jvq
+    from controlar_tpu.models.vit import ViTConfig
+    from controlar_tpu.data.extract import extract_tree
+    from controlar_tpu.data.t2i_control import (
+        T2IControlCodeDataset, T2IControlConfig)
+    from controlar_tpu.data.carpack import (
+        CarpackControlDataset, pack_control_dataset)
+    from controlar_tpu.data.loader import ShardedLoader
+    from controlar_tpu.train.trainer import Trainer, TrainerConfig
+
+    class _FakeT5:
+        def get_text_embeddings(self, texts):
+            return (np.ones((len(texts), 7, 2048), np.float32),
+                    np.ones((len(texts), 7), np.int64))
+
+    img = 64
+    vq_cfg = VQConfig(codebook_size=64, codebook_embed_dim=8, z_channels=16,
+                      ch=16)
+    vq_params = jvq.init_vq_params(jax.random.PRNGKey(0), vq_cfg)
+    rng = np.random.default_rng(0)
+    samples = [
+        {"image": rng.integers(0, 255, (img, img, 3)).astype(np.uint8),
+         "caption": f"s{i}"} for i in range(8)
+    ]
+    tree = str(tmp_path / "tree")
+    extract_tree(tree, samples, vq_params, vq_cfg, t5_embedder=_FakeT5(),
+                 image_size=img)
+
+    ds_tree = T2IControlCodeDataset(T2IControlConfig(
+        code_path=tree, condition_type="canny", image_size=img))
+    car = str(tmp_path / "packed.car")
+    n = pack_control_dataset(ds_tree, car)
+    assert n == 8
+    ds_car = CarpackControlDataset(car)
+    assert len(ds_car) == 8
+
+    # item-for-item equality
+    for i in range(8):
+        a, b = ds_tree[i], ds_car[i]
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def losses(ds, results):
+        tcfg = TrainerConfig(
+            gpt_model="GPT-B", model_type="t2i", image_size=img,
+            condition_type="canny", epochs=2, global_batch_size=8,
+            results_dir=str(tmp_path / results), ckpt_every=100, log_every=1,
+            model_overrides=dict(dim=64, n_layer=2, n_head=2, vocab_size=64),
+            adapter_override=ViTConfig(hidden_size=384, n_layer=1, n_head=2,
+                                       patch_size=14, pos_grid=4,
+                                       layerscale=True),
+        )
+        loader = ShardedLoader(ds, batch_size=8, num_workers=2, seed=5)
+        tr = Trainer(tcfg)
+        tr.fit(loader, max_steps=2)
+        import json
+        with open(os.path.join(tcfg.results_dir, "metrics.jsonl")) as f:
+            return [json.loads(l)["loss"] for l in f]
+
+    l_tree = losses(ds_tree, "r_tree")
+    l_car = losses(ds_car, "r_car")
+    assert len(l_tree) == len(l_car) >= 1
+    np.testing.assert_allclose(l_tree, l_car, rtol=1e-6)
