@@ -32,6 +32,7 @@ from controlar_tpu.ops.cache_append import cache_append_rows
 from controlar_tpu.ops.flash_decode2 import (
     flash_decode_attention2 as flash_decode_attention,
     flash_decode_attention2_q8,
+    flash_decode_attention2_q8_append,
 )
 from controlar_tpu.quant import dequantize_kv_slab, quantize_kv_rows
 from controlar_tpu.ops.norms import rms_norm
@@ -122,6 +123,16 @@ def _layer_params(params: Params, l: int):
     return jax.tree.map(lambda a: a[l], params["layers"])
 
 
+def ffn(lp, x: jnp.ndarray) -> jnp.ndarray:
+    """SwiGLU FFN; supports the fused-w13 layout (one streamed weight for
+    w1|w3 — halves the per-layer kernel dispatches on the W4 path)."""
+    if "w13" in lp:
+        y = wdot(x, lp["w13"])
+        h1, h3 = jnp.split(y, 2, axis=-1)
+        return wdot(jax.nn.silu(h1) * h3, lp["w2"])
+    return wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
+
+
 def _logits(params: Params, cfg: GPTConfig, h: jnp.ndarray) -> jnp.ndarray:
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     return wdot(h, params["output"]).astype(jnp.float32)
@@ -182,7 +193,7 @@ def prefill_flat(
         ).astype(x.dtype).reshape(b, t, hd)
         h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
+        h = h + ffn(lp, x)
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)
 
@@ -253,10 +264,10 @@ def decode_step_multi(
         kv_row = jnp.concatenate(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
         )
-        if not isinstance(kvs[l], dict):
-            kv_row = kv_row.astype(kvs[l].dtype)
-        kvs[l] = write_row(kvs[l], kv_row, pos)
         if use_flash:
+            if not isinstance(kvs[l], dict):
+                kv_row = kv_row.astype(kvs[l].dtype)
+            kvs[l] = write_row(kvs[l], kv_row, pos)
             if isinstance(kvs[l], dict):
                 attn = flash_decode_attention2_q8(
                     q.reshape(b, hd), kvs[l]["kv"], kvs[l]["s"], pos, col_bias,
@@ -267,6 +278,9 @@ def decode_step_multi(
                     q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
                 ).astype(h.dtype)[:, None, :]
         else:
+            if not isinstance(kvs[l], dict):
+                kv_row = kv_row.astype(kvs[l].dtype)
+            kvs[l] = write_row(kvs[l], kv_row, pos)
             slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"], cfg.kv_heads,
                                        h.dtype)
                     if isinstance(kvs[l], dict) else kvs[l])
@@ -282,7 +296,7 @@ def decode_step_multi(
             ).astype(h.dtype).reshape(b, 1, hd)
         h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
+        h = h + ffn(lp, x)
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)
 
@@ -366,6 +380,6 @@ def decode_step_flat(
             ).astype(h.dtype).reshape(b, 1, hd)
         h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
+        h = h + ffn(lp, x)
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)

@@ -83,11 +83,15 @@ def dequantize_weight_w4(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16,
     return (w if k is None else w[:k]).astype(dtype)
 
 
-NSLOT = 4  # manual DMA pipeline depth (GROUP-row chunks of ~N bytes)
+def _nslot(n: int) -> int:
+    """Pipeline depth bounded by VMEM: slots (GROUP x N int8) + out/scales
+    must fit the 16 MB scoped limit."""
+    budget = 11 * 1024 * 1024  # leave room for out + scales + x
+    return max(2, min(6, budget // (GROUP * n)))
 
 
-def _w4_kernel(xe_ref, xo_ref, q_hbm, s_ref, o_ref, buf, sem,
-               *, nchunks: int):
+def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
+               *, nchunks: int, nslot: int):
     """Single-program manual-DMA kernel: NSLOT-deep double buffering of
     GROUP-row carrier chunks (full N width, contiguous HBM reads), unpack
     (VPU) + two group dots (MXU) per chunk under the DMA shadow.
@@ -101,15 +105,15 @@ def _w4_kernel(xe_ref, xo_ref, q_hbm, s_ref, o_ref, buf, sem,
             q_hbm.at[pl.ds(i * GROUP, GROUP), :], buf.at[slot],
             sem.at[slot])
 
-    for w in range(min(NSLOT - 1, nchunks)):
+    for w in range(min(nslot - 1, nchunks)):
         get(w, w).start()
 
     def body(p, acc):
-        slot = p % NSLOT
+        slot = p % nslot
 
-        @pl.when(p + NSLOT - 1 < nchunks)
+        @pl.when(p + nslot - 1 < nchunks)
         def _():
-            get((p + NSLOT - 1) % NSLOT, p + NSLOT - 1).start()
+            get((p + nslot - 1) % nslot, p + nslot - 1).start()
 
         get(slot, p).wait()
         c = buf[slot][:].astype(jnp.int32)
@@ -117,8 +121,9 @@ def _w4_kernel(xe_ref, xo_ref, q_hbm, s_ref, o_ref, buf, sem,
         hi = (c >> 4).astype(jnp.bfloat16)
         sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
         sh = s_ref[pl.ds(2 * p + 1, 1), :].astype(jnp.float32)
-        xl = xe_ref[:, pl.ds(p * GROUP, GROUP)]
-        xh = xo_ref[:, pl.ds(p * GROUP, GROUP)]
+        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, ...)
+        xl = x_ref[:, pl.ds(2 * p * GROUP, GROUP)]
+        xh = x_ref[:, pl.ds((2 * p + 1) * GROUP, GROUP)]
         dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
         dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
         return acc + dl * sl + dh * sh
@@ -126,14 +131,6 @@ def _w4_kernel(xe_ref, xo_ref, q_hbm, s_ref, o_ref, buf, sem,
     acc = jax.lax.fori_loop(
         0, nchunks, body, jnp.zeros(o_ref.shape, jnp.float32))
     o_ref[:] = acc
-
-
-def _plane_split(xp: jnp.ndarray):
-    """(B, Kp) -> even-plane and odd-plane halves, each (B, Kp/2)."""
-    bp, kp = xp.shape
-    xpl = xp.reshape(bp, kp // (2 * GROUP), 2, GROUP)
-    return (xpl[:, :, 0].reshape(bp, kp // 2),
-            xpl[:, :, 1].reshape(bp, kp // 2))
 
 
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
@@ -148,14 +145,13 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
     kp2, n = q4.shape
     kp = 2 * kp2
     nchunks = kp2 // GROUP
+    nslot = _nslot(n)
     bp = _pad_to(max(b, 16), 16)
     xp = jnp.zeros((bp, kp), jnp.bfloat16).at[:b, :k].set(x.astype(jnp.bfloat16))
-    xe, xo = _plane_split(xp)
 
     out = pl.pallas_call(
-        functools.partial(_w4_kernel, nchunks=nchunks),
+        functools.partial(_w4_kernel, nchunks=nchunks, nslot=nslot),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -163,8 +159,8 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((NSLOT, GROUP, n), jnp.int8),
-            pltpu.SemaphoreType.DMA((NSLOT,)),
+            pltpu.VMEM((nslot, GROUP, n), jnp.int8),
+            pltpu.SemaphoreType.DMA((nslot,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -172,5 +168,5 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
             bytes_accessed=kp2 * n + xp.nbytes + s.nbytes + bp * n * 4,
             transcendentals=0,
         ),
-    )(xe, xo, q4, s)
+    )(xp, q4, s)
     return out[:b].astype(out_dtype)

@@ -131,6 +131,13 @@ def quantize_gpt_params_w4(
     layers = []
     for lp in params["layers"]:
         lp = dict(lp)
+        # fuse w1|w3 into one streamed weight (one kernel call per FFN up)
+        if ("w1" in lp and "w3" in lp and "w1" not in keep
+                and "w3" not in keep):
+            w1, w3 = lp.pop("w1"), lp.pop("w3")
+            w1 = dequantize_weight(w1) if is_quantized(w1) else w1
+            w3 = dequantize_weight(w3) if is_quantized(w3) else w3
+            lp["w13"] = quantize_weight_w4(jnp.concatenate([w1, w3], axis=1))
         for k in LAYER_QUANT_KEYS:
             if k in lp and k not in keep:
                 w = lp[k]

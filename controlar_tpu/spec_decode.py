@@ -139,7 +139,7 @@ def forward_chunk(
             ).astype(h.dtype).reshape(b, k, hd)
         h = h + wdot(attn, lp["wo"])
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
-        h = h + wdot(jax.nn.silu(wdot(x, lp["w1"])) * wdot(x, lp["w3"]), lp["w2"])
+        h = h + dec.ffn(lp, x)
     h = rms_norm(h, params["norm"], cfg.norm_eps)
     logits = wdot(h, params["output"]).astype(jnp.float32)
     return logits, tuple(kvs)

@@ -105,3 +105,48 @@ def test_generate_int8_cache_no_cfg_branch():
     t_q8 = np.asarray(jgen.generate(params, cfg, cache_dtype=jnp.int8, **kw))
     assert t_ref.shape == t_q8.shape == (3, cfg.block_size)
     assert (t_ref == t_q8).mean() >= 0.85
+
+
+def test_q8_append_kernel_matches_separate_ops():
+    """Fused append+attention == DUS append then flash attention (interpret),
+    including the written slabs and per-slot positions."""
+    from controlar_tpu.ops.flash_decode2 import (
+        flash_decode_attention2_q8, flash_decode_attention2_q8_append)
+    from controlar_tpu.quant import quantize_kv_rows
+    from controlar_tpu import decode as dec
+
+    rng = np.random.default_rng(0)
+    B, H, D, S = 3, 2, 8, 128
+    hd = H * D
+    kv = rng.standard_normal((B, S, 2 * hd)).astype(np.float32)
+    qkv, scales = quantize_kv_rows(jnp.asarray(kv), H)
+    scales = dec._pad_scales(scales, H)
+    pos = jnp.asarray([5, 64, 101], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, hd)) * 0.5, jnp.float32)
+    new_row = jnp.asarray(rng.standard_normal((B, 2 * hd)), jnp.float32)
+    nq, ns = quantize_kv_rows(new_row, H)
+    ns = dec._pad_scales(ns, H)
+
+    # reference: write the row, then attend rows <= pos
+    vdus = jax.vmap(lambda c, r, p: jax.lax.dynamic_update_slice(c, r, (p, 0)))
+    kv_ref = vdus(qkv, nq[:, None], pos)
+    s_ref = vdus(scales, ns[:, None], pos)
+    want = np.asarray(flash_decode_attention2_q8(
+        q, kv_ref, s_ref, pos, None, n_head=H, block=64, interpret=True))
+
+    got, kv_out, s_out = flash_decode_attention2_q8_append(
+        q, nq, ns, qkv, scales, pos, None, n_head=H, block=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
+    np.testing.assert_array_equal(np.asarray(kv_out), np.asarray(kv_ref))
+    np.testing.assert_array_equal(np.asarray(s_out), np.asarray(s_ref))
+
+    # with a prefix column bias (0 at decode positions)
+    bias = np.zeros((B, S), np.float32)
+    bias[:, :4] = -1e9
+    want = np.asarray(flash_decode_attention2_q8(
+        q, kv_ref, s_ref, pos, jnp.asarray(bias), n_head=H, block=64,
+        interpret=True))
+    got, _, _ = flash_decode_attention2_q8_append(
+        q, nq, ns, qkv, scales, pos, jnp.asarray(bias), n_head=H, block=64,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)

@@ -78,7 +78,9 @@ def test_w4_generate_runs_and_close():
         jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg))
     w4p = quantize_gpt_params_w4(params)
     # head is int8, big mats are w4 dicts
-    assert "q" in w4p["output"] and "q4" in w4p["layers"][0]["w1"]
+    lp0 = w4p["layers"][0]
+    assert "q" in w4p["output"] and "q4" in lp0["w13"]
+    assert "w1" not in lp0 and "w3" not in lp0  # fused into one stream
 
     kw = dict(labels=jnp.arange(4), max_new_tokens=16, cfg_scale=2.0,
               sample_logits=False, rng=jax.random.PRNGKey(1), use_flash=False)
