@@ -236,6 +236,41 @@ def cmd_train_c2i(args):
     Trainer(tcfg).fit(loader, max_steps=args.max_steps)
 
 
+def cmd_quant_report(args):
+    """Quantization accuracy gate (eval/quant_report.py): bf16 vs int8/W4
+    teacher-forced token agreement, logit divergence, free-running prefix
+    survival. Runs on --gpt-ckpt weights, or random weights for the
+    systems-level bound."""
+    import jax
+    import jax.numpy as jnp
+
+    from controlar_tpu.config import gpt_config
+    from controlar_tpu.models import gpt as gpt_model
+    from controlar_tpu import checkpoint as ckpt_lib
+    from controlar_tpu.eval.quant_report import (
+        format_report, measure_quant_agreement)
+
+    cfg = gpt_config(args.gpt_model, model_type="c2i", cls_token_num=1,
+                     block_size=(args.image_size // args.downsample_size) ** 2,
+                     vocab_size=16384, num_classes=1000)
+    if args.gpt_ckpt:
+        params = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.bfloat16),
+            ckpt_lib.load_gpt_checkpoint(args.gpt_ckpt, cfg))
+    else:
+        print("[warn] no --gpt-ckpt: random weights (systems-level bound)",
+              file=sys.stderr)
+        params = gpt_model.init_gpt_params(
+            jax.random.PRNGKey(args.seed), cfg, dtype=jnp.bfloat16)
+    report = measure_quant_agreement(
+        params, cfg, modes=tuple(args.modes.split(",")),
+        max_new_tokens=args.max_new_tokens, cfg_scale=args.cfg_scale)
+    print(format_report(report))
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
 def cmd_pack_data(args):
     """Pack an extracted control tree into one .car file (csrc/carpack.cpp
     reader) for the production input pipeline: replaces per-sample tiny-file
@@ -490,6 +525,7 @@ def cmd_verify_zoo(args):
             ck, args.size, model_type=args.model_type,
             adapter_size=args.adapter_size, block_size=args.block_size,
             max_new_tokens=args.max_new_tokens, cfg_scale=args.cfg_scale,
+            quant_report=args.quant_report,
         ))
     ok = True
     for r in results:
@@ -710,6 +746,13 @@ def main(argv=None):
     p.add_argument("--dist-process-id", type=int, default=None)
     p.set_defaults(fn=cmd_train_t2i)
 
+    p = sub.add_parser("quant-report")
+    _add_model_args(p)
+    p.add_argument("--modes", default="int8,int8+kv8,w4,w4+kv8")
+    p.add_argument("--max-new-tokens", type=int, default=128)
+    p.add_argument("--json-out", default=None)
+    p.set_defaults(fn=cmd_quant_report)
+
     p = sub.add_parser("pack-data")
     p.add_argument("--format", choices=["t2i", "c2i"], default="t2i")
     p.add_argument("--code-path", required=True,
@@ -811,6 +854,9 @@ def main(argv=None):
     p.add_argument("--cfg-scale", type=float, default=2.0)
     p.add_argument("--self-test", action="store_true",
                    help="run the gate on a tiny random reference checkpoint")
+    p.add_argument("--quant-report", action="store_true",
+                   help="also measure int8/W4 serving-mode token agreement "
+                        "against the converted bf16 weights (c2i)")
     p.add_argument("--zoo-dir", default=None,
                    help="gate every released zoo file found in this dir "
                         "(canny_MR/depth_MR/hed/seg_cocostuff/edge_base/"

@@ -60,12 +60,19 @@ class Request:
     seed: int = 0
     # filled by the engine
     tokens: Optional[np.ndarray] = None
+    t_submit: Optional[float] = None   # set by add_request
+    t_done: Optional[float] = None     # set when the last token is emitted
 
 
 @dataclasses.dataclass
 class ServeConfig:
     max_slots: int = 8
     quantum: int = 64           # decode steps per device program (fixed)
+    # early quantum exit: compile a small set of shorter quantum programs and
+    # pick the smallest one covering the earliest-finishing slot, so a
+    # finished slot stops burning full-model steps for up to quantum-1 steps
+    # (the frozen-slot tail waste). None = single fixed quantum.
+    quantum_buckets: Optional[tuple] = None
     temperature: float = 1.0
     top_k: int = 2000
     top_p: float = 1.0
@@ -109,9 +116,17 @@ class ServeEngine:
         self.outputs: Dict[int, List[int]] = {}
         self.waiting: "queue.deque[Request]" = __import__("collections").deque()
         self.finished: List[Request] = []
+        # device-step accounting: slot_steps counts every (slot, step) the
+        # device computed; useful_steps those that emitted a kept token.
+        # 1 - useful/slot = combined empty-slot + frozen-tail waste.
+        self.stats = {"slot_steps": 0, "useful_steps": 0}
 
     # ------------------------------------------------------------------
     def add_request(self, req: Request):
+        import time as _time
+
+        if req.t_submit is None:
+            req.t_submit = _time.time()
         self.waiting.append(req)
 
     def has_unfinished(self) -> bool:
@@ -248,14 +263,16 @@ class ServeEngine:
             self.outputs[req.request_id] = [int(tok[i])]
 
     # ------------------------------------------------------------------
-    @partial(jax.jit, static_argnames=("self",), donate_argnums=(1,))
+    @partial(jax.jit, static_argnames=("self", "q"), donate_argnums=(1,))
     def _quantum_jit(self, caches, fused, pos, cur_tok, cfg_scales,
-                     strengths, active, seeds, col_mask):
-        """Run EXACTLY scfg.quantum lockstep decode steps (one compiled
-        program for the engine's lifetime). Slots freeze in-graph once their
-        block is emitted; frozen slots rewrite identical KV bytes in place."""
+                     strengths, active, seeds, col_mask, q=None):
+        """Run EXACTLY q (default scfg.quantum) lockstep decode steps — one
+        compiled program per distinct q for the engine's lifetime. Slots
+        freeze in-graph once their block is emitted; frozen slots rewrite
+        identical KV bytes in place."""
         cfg = self.cfg
         n = self.scfg.max_slots
+        q = q or self.scfg.quantum
         stop = cfg.cls_token_num + cfg.block_size - 1
 
         def step(carry, i):
@@ -279,13 +296,29 @@ class ServeEngine:
             return (caches, pos, cur), nxt
 
         (caches, pos, cur), toks = jax.lax.scan(
-            step, (caches, pos, cur_tok), jnp.arange(self.scfg.quantum)
+            step, (caches, pos, cur_tok), jnp.arange(q)
         )
-        return caches, pos, cur, toks  # toks: (quantum, slots)
+        return caches, pos, cur, toks  # toks: (q, slots)
+
+    def _pick_quantum(self) -> int:
+        """Smallest bucket covering the earliest-finishing active slot (the
+        early-exit policy); the fixed quantum when buckets are off."""
+        buckets = self.scfg.quantum_buckets
+        if not buckets:
+            return self.scfg.quantum
+        remaining = [self.cfg.block_size - int(self.emitted[s])
+                     for s in range(self.scfg.max_slots) if self.active[s]]
+        need = min(remaining) if remaining else max(buckets)
+        for q in sorted(buckets):
+            if q >= need:
+                return q
+        return max(buckets)
 
     def step(self):
-        """One scheduler iteration: group-admit -> fixed decode quantum ->
+        """One scheduler iteration: group-admit -> decode quantum ->
         collect."""
+        import time as _time
+
         n = self.scfg.max_slots
         free = [s for s in range(n) if not self.active[s]]
         group, slots = [], []
@@ -296,22 +329,26 @@ class ServeEngine:
             self._admit_group(group, slots)
         if not self.active.any():
             return
+        q = self._pick_quantum()
         active2 = jnp.asarray(np.concatenate([self.active, self.active]))
         self.caches, self.pos, self.cur_tok, toks = self._quantum_jit(
             self.caches, self.fused, self.pos, self.cur_tok,
             self.cfg_scales, self.strengths, active2, self.seeds, self.col_mask,
+            q=q,
         )
-        toks = jax.device_get(toks)  # (quantum, slots)
-        q = self.scfg.quantum
+        toks = jax.device_get(toks)  # (q, slots)
+        self.stats["slot_steps"] += q * n
         for s in range(n):
             if not self.active[s]:
                 continue
             req = self.slot_req[s]
             take = min(q, self.cfg.block_size - self.emitted[s])
+            self.stats["useful_steps"] += take
             self.outputs[req.request_id].extend(int(t) for t in toks[:take, s])
             self.emitted[s] += take
             if self.emitted[s] >= self.cfg.block_size:
                 req.tokens = np.asarray(self.outputs.pop(req.request_id), np.int32)
+                req.t_done = _time.time()
                 self.finished.append(req)
                 self.active[s] = False
                 self.slot_req[s] = None

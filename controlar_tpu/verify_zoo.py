@@ -134,11 +134,18 @@ class GateResult:
     agreement: float
     n_tokens: int
     passed: bool
+    quant: Optional[Dict[str, Dict[str, float]]] = None  # eval/quant_report
 
     def line(self) -> str:
         status = "PASS" if self.passed else "FAIL"
-        return (f"[{status}] {self.name}: {self.agreement*100:.2f}% of "
-                f"{self.n_tokens} greedy tokens match")
+        out = (f"[{status}] {self.name}: {self.agreement*100:.2f}% of "
+               f"{self.n_tokens} greedy tokens match")
+        if self.quant:
+            for mode, m in self.quant.items():
+                out += (f"\n    quant {mode}: teacher-forced agreement "
+                        f"{m['teacher_forced_agreement']*100:.1f}%, max rel "
+                        f"logit err {m['max_rel_logit_err']:.4f}")
+        return out
 
 
 def _build_ref_model(size: str, model_type: str, cfg, overrides: Dict[str, Any]):
@@ -183,8 +190,13 @@ def verify_checkpoint(
     name: Optional[str] = None,
     cfg_overrides: Optional[Dict[str, Any]] = None,
     ref_overrides: Optional[Dict[str, Any]] = None,
+    quant_report: bool = False,
 ) -> GateResult:
-    """Run the parity gate on one checkpoint file. Returns a GateResult."""
+    """Run the parity gate on one checkpoint file. Returns a GateResult.
+
+    quant_report=True additionally measures the int8/W4 serving modes'
+    token agreement against the converted bf16 weights (c2i only), so real
+    released weights get a quantization-quality verdict in the same run."""
     import torch
     import jax
     import jax.numpy as jnp
@@ -267,9 +279,17 @@ def verify_checkpoint(
         ))
 
     agreement = float((got == want).mean())
+    qrep = None
+    if quant_report and not t2i:
+        from controlar_tpu.eval.quant_report import measure_quant_agreement
+
+        qrep = measure_quant_agreement(
+            jax.tree.map(lambda a: a.astype(jnp.bfloat16), params), cfg,
+            max_new_tokens=min(max_new, 128))
     return GateResult(
         name=name or ckpt_path, agreement=agreement,
         n_tokens=int(np.prod(want.shape)), passed=agreement == 1.0,
+        quant=qrep,
     )
 
 

@@ -16,6 +16,7 @@ BASELINES = {  # A100 seconds: (eager, vLLM fork) per ref serve/README.md
     "GPT-3B": (14.73, 6.26),
 }
 INT8_SIZES = ("GPT-B", "GPT-L", "GPT-XL", "GPT-XXL", "GPT-3B")
+W4_SIZES = ("GPT-XL", "GPT-XXL", "GPT-3B")  # weight-stream-bound sizes
 
 NOTES = """
 Notes:
@@ -98,23 +99,29 @@ def main():
         del pu
         dec._UNSTACK_CACHE.clear()
 
-        best8 = None
+        best8 = best4 = None
         if size in INT8_SIZES:
             qp = quant.quantize_gpt_params(params)
-            del params
             qp = dec.unstack_layers(qp)
             # full quantized serving config: int8 weights + int8 KV cache
             best8 = timed(qp, cache_dtype=jnp.int8)
             del qp
             dec._UNSTACK_CACHE.clear()
-        else:
-            del params
+        if size in W4_SIZES:
+            # W4A16 weights (int4 group-128 Pallas kernel) + int8 KV cache
+            w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params))
+            dec._UNSTACK_CACHE.clear()
+            best4 = timed(w4p, cache_dtype=jnp.int8)
+            del w4p
+        del params
 
         rows.append((size, eager, vllm, best, vllm / best, best8,
-                     (vllm / best8) if best8 else None))
+                     (vllm / best8) if best8 else None, best4,
+                     (vllm / best4) if best4 else None))
         i8 = f", int8 {best8:.3f}s ({vllm/best8:.2f}x)" if best8 else ""
-        print(f"{size}: bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100){i8}",
-              flush=True)
+        w4 = f", w4 {best4:.3f}s ({vllm/best4:.2f}x)" if best4 else ""
+        print(f"{size}: bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)"
+              f"{i8}{w4}", flush=True)
 
     with open("PERFORMANCE.md", "w") as f:
         f.write(
@@ -127,21 +134,24 @@ def main():
             "weight-streaming W8A16 + int8-KV-cache path (quant.py):\n"
             "per-output-channel scales, XLA fuses the dequant into the dot so\n"
             "only int8 bytes cross HBM. The reference ships no quantized path.\n\n"
-            "| model | ref eager A100 | ref vLLM-fork A100 | v5e bf16 | vs vLLM | v5e int8 | vs vLLM |\n"
-            "|---|---|---|---|---|---|---|\n"
+            "| model | ref eager A100 | ref vLLM-fork A100 | v5e bf16 | vs vLLM | v5e int8 | vs vLLM | v5e W4 | vs vLLM |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
-        for size, eager, vllm, best, speedup, best8, speedup8 in rows:
+        for (size, eager, vllm, best, speedup, best8, speedup8,
+             best4, speedup4) in rows:
             i8 = f"{best8:.3f} s | {speedup8:.2f}x" if best8 else "- | -"
+            w4c = f"{best4:.3f} s | {speedup4:.2f}x" if best4 else "- | -"
             f.write(f"| {size} | {eager:.2f} s | {vllm:.2f} s | "
-                    f"{best:.3f} s | {speedup:.2f}x | {i8} |\n")
+                    f"{best:.3f} s | {speedup:.2f}x | {i8} | {w4c} |\n")
         f.write("\nReproduce: `python scripts/bench_sweep.py` (headline single "
                 "metric: `python bench.py`).\n")
         f.write(NOTES)
     with open("BENCH_SWEEP.json", "w") as f:
         json.dump([
             {"size": s, "bf16_s": b, "bf16_x": round(x, 3),
-             "int8_s": b8, "int8_x": round(x8, 3) if x8 else None}
-            for s, _, _, b, x, b8, x8 in rows
+             "int8_s": b8, "int8_x": round(x8, 3) if x8 else None,
+             "w4_s": b4, "w4_x": round(x4, 3) if x4 else None}
+            for s, _, _, b, x, b8, x8, b4, x4 in rows
         ], f, indent=1)
     print("wrote PERFORMANCE.md")
 

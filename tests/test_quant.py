@@ -113,3 +113,35 @@ def test_unstack_layers_quantized_tree_cached():
     assert l0["wqkv"]["q"].shape == (cfg.dim, 3 * cfg.dim)
     np.testing.assert_array_equal(
         np.asarray(l0["wqkv"]["q"]), np.asarray(qp["layers"]["wqkv"]["q"][0]))
+
+
+def test_quant_agreement_gate():
+    """The accuracy gate orders the modes sensibly and int8 clears a floor
+    at tiny scale (the structural claim; absolute numbers are logged for
+    real weights through verify-zoo --quant-report)."""
+    from controlar_tpu.eval.quant_report import (
+        format_report, measure_quant_agreement)
+
+    cfg = GPTConfig(model_type="c2i", dim=128, n_layer=3, n_head=4,
+                    cls_token_num=1, block_size=64, vocab_size=512,
+                    num_classes=16)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg,
+                                  dtype=jnp.bfloat16)
+    rep = measure_quant_agreement(
+        params, cfg, modes=("int8", "int8+kv8", "w4"), max_new_tokens=64)
+    txt = format_report(rep)
+    assert "int8+kv8" in txt
+
+    i8 = rep["int8"]
+    # int8 weight-only: near-lossless teacher-forced agreement
+    assert i8["teacher_forced_agreement"] >= 0.9, rep
+    assert i8["max_rel_logit_err"] < 0.1, rep
+    # adding KV-cache quantization can only add noise
+    assert (rep["int8+kv8"]["max_rel_logit_err"]
+            >= i8["max_rel_logit_err"] * 0.5)
+    # w4 is coarser than int8
+    assert rep["w4"]["max_rel_logit_err"] >= i8["max_rel_logit_err"], rep
+    assert rep["w4"]["teacher_forced_agreement"] >= 0.3, rep
+    for m in rep.values():
+        assert 0 <= m["free_running_match"] <= 1
+        assert 0 <= m["mean_prefix_survival"] <= 64

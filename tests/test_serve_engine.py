@@ -79,3 +79,34 @@ def test_engine_int8_cache_matches_offline_int8():
                     for i in range(3)])
     for i, r in enumerate(done):
         np.testing.assert_array_equal(r.tokens, offline[i])
+
+
+def test_quantum_buckets_and_waste_stats():
+    """Early quantum exit picks shorter programs near completion; the waste
+    accounting exposes the frozen-tail + empty-slot fraction."""
+    cfg = CFG
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    scfg = ServeConfig(max_slots=2, quantum=8, greedy=True,
+                       quantum_buckets=(8, 4, 2), use_flash=False)
+    eng = ServeEngine(params, cfg, scfg)
+    reqs = [Request(request_id=i, label=i, cfg_scale=2.0, seed=i)
+            for i in range(3)]
+    done = eng.run(reqs)
+    assert len(done) == 3
+    assert all(r.tokens is not None and len(r.tokens) == cfg.block_size
+               for r in done)
+    assert all(r.t_done is not None and r.t_done >= r.t_submit for r in done)
+    st = eng.stats
+    # the first token of each request is emitted at admission (prefill)
+    assert st["useful_steps"] == 3 * (cfg.block_size - 1)
+    assert st["slot_steps"] >= st["useful_steps"]
+
+    # bucketed output must equal the fixed-quantum output
+    eng2 = ServeEngine(params, cfg, ServeConfig(
+        max_slots=2, quantum=8, greedy=True, use_flash=False))
+    done2 = eng2.run([Request(request_id=10 + i, label=i, cfg_scale=2.0,
+                              seed=i) for i in range(3)])
+    for a, b in zip(done, done2):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+    # early exit should not be wasteful-er
+    assert eng.stats["slot_steps"] <= eng2.stats["slot_steps"]
