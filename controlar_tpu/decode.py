@@ -31,10 +31,17 @@ from controlar_tpu.models.gpt import (
 from controlar_tpu.ops.cache_append import cache_append_rows
 from controlar_tpu.ops.flash_decode2 import (
     flash_decode_attention2 as flash_decode_attention,
+    flash_decode_attention2_q4,
     flash_decode_attention2_q8,
     flash_decode_attention2_q8_append,
 )
-from controlar_tpu.quant import dequantize_kv_slab, quantize_kv_rows
+from controlar_tpu.quant import (
+    dequantize_kv4_slab,
+    dequantize_kv_slab,
+    kv4_row_width,
+    quantize_kv_rows,
+    quantize_kv_rows_4,
+)
 from controlar_tpu.ops.norms import rms_norm
 from controlar_tpu.quant import wdot
 
@@ -48,13 +55,23 @@ def init_flat_caches(
 ) -> Caches:
     """dtype=jnp.int8 selects the quantized cache: per-layer
     {'kv': int8 rows, 's': (B, S, 2*H) f32 per-head scales} — halves the
-    dominant decode HBM read; attention runs flash_decode_attention2_q8."""
+    dominant decode HBM read; attention runs flash_decode_attention2_q8.
+    dtype=jnp.int4 selects the nibble-packed cache {'kv4': ..., 's': ...}
+    (quantize_kv_rows_4 layout) — halves it again; attention runs
+    flash_decode_attention2_q4. Quality per mode: eval/quant_report.py."""
     shape = (batch, max_seq, 2 * cfg.kv_heads * cfg.head_dim)
+    sshape = (batch, max_seq, scale_pad(cfg.kv_heads))
     if dtype == jnp.int8:
         # scale lanes padded to 128 (Mosaic DMA tiling requirement)
-        sshape = (batch, max_seq, scale_pad(cfg.kv_heads))
         return tuple(
             {"kv": jnp.zeros(shape, jnp.int8), "s": jnp.zeros(sshape, jnp.float32)}
+            for _ in range(cfg.n_layer)
+        )
+    if dtype == jnp.int4:
+        w = kv4_row_width(cfg.kv_heads, cfg.head_dim)
+        return tuple(
+            {"kv4": jnp.zeros((batch, max_seq, 2 * w), jnp.int8),
+             "s": jnp.zeros(sshape, jnp.float32)}
             for _ in range(cfg.n_layer)
         )
     return tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
@@ -77,7 +94,38 @@ def is_quantized_cache(caches_or_layer) -> bool:
 
 def cache_seq_len(caches: Caches) -> int:
     c0 = caches[0]
-    return (c0["kv"] if isinstance(c0, dict) else c0).shape[1]
+    if isinstance(c0, dict):
+        return c0.get("kv", c0.get("kv4")).shape[1]
+    return c0.shape[1]
+
+
+def _quantize_rows_for(cache, kv_rows, kv_heads):
+    """Quantize new rows to the cache's own format ({kv} int8 / {kv4})."""
+    if "kv4" in cache:
+        q_rows, s_rows = quantize_kv_rows_4(kv_rows, kv_heads)
+    else:
+        q_rows, s_rows = quantize_kv_rows(kv_rows, kv_heads)
+    return q_rows, _pad_scales(s_rows, kv_heads)
+
+
+def _cache_kv_key(cache) -> str:
+    return "kv4" if "kv4" in cache else "kv"
+
+
+def _dequant_slab(cache, cfg, dtype):
+    if "kv4" in cache:
+        return dequantize_kv4_slab(cache["kv4"], cache["s"], cfg.kv_heads,
+                                   cfg.head_dim, dtype)
+    return dequantize_kv_slab(cache["kv"], cache["s"], cfg.kv_heads, dtype)
+
+
+def _flash_quant_attn(q2d, cache, pos, col_bias, cfg):
+    if "kv4" in cache:
+        return flash_decode_attention2_q4(
+            q2d, cache["kv4"], cache["s"], pos, col_bias,
+            n_head=cfg.n_head, head_dim=cfg.head_dim)
+    return flash_decode_attention2_q8(
+        q2d, cache["kv"], cache["s"], pos, col_bias, n_head=cfg.n_head)
 
 
 _UNSTACK_CACHE: Dict[int, Any] = {}
@@ -100,7 +148,10 @@ def unstack_layers(params: Params) -> Params:
     for k in [k for k, (r, _) in _UNSTACK_CACHE.items() if r() is None]:
         del _UNSTACK_CACHE[k]
     anchor = jax.tree.leaves(params["layers"])[0]  # weakref-able jax.Array
-    key = id(anchor)
+    # key on the layers CONTAINER + anchor: keying on the anchor alone
+    # aliased distinct trees sharing their first leaf (e.g. a quantized copy
+    # whose norms are untouched) to the same cache entry
+    key = (id(params["layers"]), id(anchor))
     hit = _UNSTACK_CACHE.get(key)
     if hit is not None and hit[0]() is anchor:
         return hit[1]
@@ -174,10 +225,10 @@ def prefill_flat(
             [k.reshape(b, t, hd), v.reshape(b, t, hd)], axis=-1
         )
         if isinstance(kvs[l], dict):
-            q_rows, s_rows = quantize_kv_rows(kv_rows, cfg.kv_heads)
-            s_rows = _pad_scales(s_rows, cfg.kv_heads)
+            kk_ = _cache_kv_key(kvs[l])
+            q_rows, s_rows = _quantize_rows_for(kvs[l], kv_rows, cfg.kv_heads)
             kvs[l] = {
-                "kv": jax.lax.dynamic_update_slice(kvs[l]["kv"], q_rows, (0, 0, 0)),
+                kk_: jax.lax.dynamic_update_slice(kvs[l][kk_], q_rows, (0, 0, 0)),
                 "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_rows, (0, 0, 0)),
             }
         else:
@@ -235,15 +286,15 @@ def decode_step_multi(
         # Pallas RMW append under flash: XLA's vmapped DUS lowers to a
         # scatter that is catastrophically slow on TPU
         if isinstance(cache, dict):
-            q_row, s_row = quantize_kv_rows(row[:, 0], cfg.kv_heads)
-            s_row = _pad_scales(s_row, cfg.kv_heads)
+            kk_ = _cache_kv_key(cache)
+            q_row, s_row = _quantize_rows_for(cache, row[:, 0], cfg.kv_heads)
             if use_flash:
-                return {"kv": cache_append_rows(cache["kv"], q_row, p),
+                return {kk_: cache_append_rows(cache[kk_], q_row, p),
                         "s": cache_append_rows(cache["s"], s_row, p)}
             vdus = jax.vmap(
                 lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0))
             )
-            return {"kv": vdus(cache["kv"], q_row[:, None], p),
+            return {kk_: vdus(cache[kk_], q_row[:, None], p),
                     "s": vdus(cache["s"], s_row[:, None], p)}
         if use_flash:
             return cache_append_rows(cache, row[:, 0], p)
@@ -269,9 +320,8 @@ def decode_step_multi(
                 kv_row = kv_row.astype(kvs[l].dtype)
             kvs[l] = write_row(kvs[l], kv_row, pos)
             if isinstance(kvs[l], dict):
-                attn = flash_decode_attention2_q8(
-                    q.reshape(b, hd), kvs[l]["kv"], kvs[l]["s"], pos, col_bias,
-                    n_head=cfg.n_head,
+                attn = _flash_quant_attn(
+                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg
                 ).astype(h.dtype)[:, None, :]
             else:
                 attn = flash_decode_attention(
@@ -281,8 +331,7 @@ def decode_step_multi(
             if not isinstance(kvs[l], dict):
                 kv_row = kv_row.astype(kvs[l].dtype)
             kvs[l] = write_row(kvs[l], kv_row, pos)
-            slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"], cfg.kv_heads,
-                                       h.dtype)
+            slab = (_dequant_slab(kvs[l], cfg, h.dtype)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
@@ -344,10 +393,10 @@ def decode_step_flat(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
         )
         if isinstance(kvs[l], dict):
-            q_row, s_row = quantize_kv_rows(kv_row, cfg.kv_heads)
-            s_row = _pad_scales(s_row, cfg.kv_heads)
+            kk_ = _cache_kv_key(kvs[l])
+            q_row, s_row = _quantize_rows_for(kvs[l], kv_row, cfg.kv_heads)
             kvs[l] = {
-                "kv": jax.lax.dynamic_update_slice(kvs[l]["kv"], q_row, (0, pos, 0)),
+                kk_: jax.lax.dynamic_update_slice(kvs[l][kk_], q_row, (0, pos, 0)),
                 "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_row, (0, pos, 0)),
             }
         else:
@@ -356,17 +405,15 @@ def decode_step_flat(
             )
         if use_flash:
             if isinstance(kvs[l], dict):
-                attn = flash_decode_attention2_q8(
-                    q.reshape(b, hd), kvs[l]["kv"], kvs[l]["s"], pos, col_bias,
-                    n_head=cfg.n_head,
+                attn = _flash_quant_attn(
+                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg
                 ).astype(h.dtype)[:, None, :]
             else:
                 attn = flash_decode_attention(
                     q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
                 ).astype(h.dtype)[:, None, :]
         else:
-            slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"], cfg.kv_heads,
-                                       h.dtype)
+            slab = (_dequant_slab(kvs[l], cfg, h.dtype)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)

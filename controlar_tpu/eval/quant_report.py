@@ -86,7 +86,8 @@ def measure_quant_agreement(
     out: Dict[str, Dict[str, float]] = {}
     for mode in modes:
         wmode, _, kvmode = mode.partition("+")
-        cache_dtype = jnp.int8 if kvmode == "kv8" else jnp.bfloat16
+        cache_dtype = {"kv8": jnp.int8, "kv4": jnp.int4}.get(
+            kvmode, jnp.bfloat16)
         if wmode == "int8":
             qp = dec.unstack_layers(quant.quantize_gpt_params(params))
         elif wmode == "w4":

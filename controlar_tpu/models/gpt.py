@@ -335,7 +335,16 @@ def _scan_layers(
         return h, None
 
     if remat:
-        body = jax.checkpoint(body)
+        # policy selection (SURVEY aux: remat tuning): "full" recomputes the
+        # whole layer; "dots" saves matmul outputs and recomputes only the
+        # cheap elementwise chain (more HBM, fewer backward FLOPs)
+        if remat == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = jax.checkpoint(body)
     xs = (params["layers"], gate, idx, layer_ids)
     h, _ = jax.lax.scan(body, h, xs, unroll=unroll)
     return h, None
@@ -357,6 +366,7 @@ def forward_train(
     valid: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    remat_policy: str = "full",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Teacher-forced forward (ref gpt_t2i.py:420-481, training branch).
 
@@ -407,7 +417,9 @@ def forward_train(
         layer_rng = jax.random.fold_in(rng, 1)
     h, _ = _scan_layers(
         params, cfg, h, rope, mask, fused3, fuse_train,
-        drop_rng=layer_rng, remat=not deterministic,
+        drop_rng=layer_rng,
+        remat=(remat_policy if remat_policy != "none" else False)
+        if not deterministic else False,
     )
     logits = _logits(params, cfg, h)
     logits = logits[:, cls - 1 :]

@@ -110,7 +110,10 @@ def _kernel(pos_ref, q_ref, kv_hbm, bias_ref, o_ref, kvbuf, sem,
                 sj = sj * scale
                 sj = jnp.where(rows <= pos + j, sj, -jnp.inf)
                 if has_bias:
-                    sj = sj + brow.reshape(block, 1)
+                    # diagonal exception: a query's own column ignores the
+                    # prefix bias (left-padded caption rows stay finite)
+                    sj_b = sj + brow.reshape(block, 1)
+                    sj = jnp.where(rows == pos + j, sj, sj_b)
                 ss.append(sj)
             s = jnp.stack(ss, axis=0)  # (K, block, H)
 

@@ -577,3 +577,199 @@ def flash_decode_attention2_q8_append(
         col_bias.astype(jnp.float32),
     )
     return out, kv_new, s_new_out
+
+
+# ---------------------------------------------------------------------------
+# Int4 KV-cache variant: rows are nibble-packed per head (2 values/byte,
+# quant.quantize_kv_rows_4 layout: [k_carriers | v_carriers], each half
+# lane-padded to 128). Unpack (2 shifts + convert) runs per block in VMEM
+# under the (halved again) DMA stream. q arrives pre-split into even/odd
+# dim halves; the output returns split halves, reassembled by the wrapper.
+# ---------------------------------------------------------------------------
+
+def _kernel_q4(pos_ref, qe_ref, qo_ref, kv_hbm, sc_hbm, bias_ref, o_ref,
+               kvbuf, scbuf, sem, scsem,
+               *, n_head: int, half_d: int, w: int, block: int, batch: int,
+               has_bias: bool, s_pad: int):
+    half = n_head * half_d
+    scale = 1.0 / np.sqrt(2 * half_d)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (w, n_head), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, n_head), 1)
+    head_mask = (lane // half_d == col) & (lane < half)
+    elane = jax.lax.broadcasted_iota(jnp.int32, (n_head, w), 1)
+    erow = jax.lax.broadcasted_iota(jnp.int32, (n_head, w), 0)
+    exp_mask = ((elane // half_d == erow) & (elane < half)).astype(jnp.bfloat16)
+    # both output halves share the per-head expansion
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (n_head, 2 * w), 1) % w
+    exp_mask2 = ((lane2 // half_d == jax.lax.broadcasted_iota(
+        jnp.int32, (n_head, 2 * w), 0)) & (lane2 < half)).astype(jnp.bfloat16)
+    exp_mask2_f = exp_mask2.astype(jnp.float32)
+
+    def nblocks_of(b):
+        return pl.cdiv(pos_ref[b] + 1, block)
+
+    def get_dma(slot, b, i):
+        return pltpu.make_async_copy(
+            kv_hbm.at[b, pl.ds(i * block, block), :], kvbuf.at[slot],
+            sem.at[slot])
+
+    def get_sc_dma(slot, b, i):
+        return pltpu.make_async_copy(
+            sc_hbm.at[b, pl.ds(i * block, block), :], scbuf.at[slot],
+            scsem.at[slot])
+
+    get_dma(0, 0, 0).start()
+    get_sc_dma(0, 0, 0).start()
+
+    def body_b(b, slot0):
+        pos = pos_ref[b]
+        nb = nblocks_of(b)
+
+        def sel_row(ref2d):
+            sel = jax.lax.broadcasted_iota(jnp.int32, ref2d.shape, 0) == b
+            return jnp.sum(jnp.where(sel, ref2d[:].astype(jnp.float32), 0.0),
+                           axis=0)
+
+        qe_bd = jnp.where(head_mask, sel_row(qe_ref)[:, None], 0.0).astype(
+            jnp.bfloat16)
+        qo_bd = jnp.where(head_mask, sel_row(qo_ref)[:, None], 0.0).astype(
+            jnp.bfloat16)
+
+        def body_blk(i, carry):
+            m, l, acc, slot = carry
+            nxt = (slot + 1) % 2
+
+            @pl.when(i + 1 < nb)
+            def _():
+                get_dma(nxt, b, i + 1).start()
+                get_sc_dma(nxt, b, i + 1).start()
+
+            @pl.when((i + 1 == nb) & (b + 1 < batch))
+            def _():
+                get_dma(nxt, b + 1, 0).start()
+                get_sc_dma(nxt, b + 1, 0).start()
+
+            get_dma(slot, b, i).wait()
+            get_sc_dma(slot, b, i).wait()
+
+            kc = kvbuf[slot][:, :w].astype(jnp.int32)
+            k_lo = ((kc << 28) >> 28).astype(jnp.bfloat16)
+            k_hi = (kc >> 4).astype(jnp.bfloat16)
+            ks = scbuf[slot][:, :n_head]
+            vs = scbuf[slot][:, n_head: 2 * n_head]
+            s = (jnp.dot(k_lo, qe_bd, preferred_element_type=jnp.float32)
+                 + jnp.dot(k_hi, qo_bd, preferred_element_type=jnp.float32))
+            s = s * ks * scale
+            rows = i * block + jax.lax.broadcasted_iota(
+                jnp.int32, (block, n_head), 0)
+            s = jnp.where(rows <= pos, s, -jnp.inf)
+            if has_bias:
+                bias_blk = bias_ref[:, pl.ds(i * block, block)]
+                bsel = jax.lax.broadcasted_iota(
+                    jnp.int32, (batch, block), 0) == b
+                brow = jnp.sum(jnp.where(bsel, bias_blk, 0.0), axis=0)
+                s = s + brow.reshape(block, 1)
+            m_blk = jnp.max(s, axis=0, keepdims=True)
+            m_new = jnp.maximum(m, m_blk)
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
+            p2_e = jnp.dot((p * vs).astype(jnp.bfloat16), exp_mask,
+                           preferred_element_type=jnp.float32)  # (block, w)
+            vc = kvbuf[slot][:, w: 2 * w].astype(jnp.int32)
+            v_lo = ((vc << 28) >> 28).astype(jnp.float32)
+            v_hi = (vc >> 4).astype(jnp.float32)
+            t_even = jnp.sum(p2_e * v_lo, axis=0, keepdims=True)
+            t_odd = jnp.sum(p2_e * v_hi, axis=0, keepdims=True)
+            term = jnp.concatenate([t_even, t_odd], axis=1)  # (1, 2w)
+            alpha_e = jnp.dot(alpha.astype(jnp.bfloat16), exp_mask2,
+                              preferred_element_type=jnp.float32)
+            return m_new, l_new, acc * alpha_e + term, nxt
+
+        m0 = jnp.full((1, n_head), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((1, n_head), jnp.float32)
+        acc0 = jnp.zeros((1, 2 * w), jnp.float32)
+        m, l, acc, slot_end = jax.lax.fori_loop(
+            0, nb, body_blk, (m0, l0, acc0, slot0))
+        l_e = jnp.dot(l, exp_mask2_f, preferred_element_type=jnp.float32)
+        val = (acc / jnp.maximum(l_e, 1e-30)).astype(o_ref.dtype)
+        sel = jax.lax.broadcasted_iota(jnp.int32, o_ref.shape, 0) == b
+        o_ref[:] = jnp.where(sel, val, o_ref[:])
+        return slot_end
+
+    jax.lax.fori_loop(0, batch, body_b, jnp.asarray(0, jnp.int32))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_head", "head_dim", "block", "interpret"))
+def flash_decode_attention2_q4(
+    q: jnp.ndarray,         # (B, H*D)
+    kv_cache: jnp.ndarray,  # (B, S, 2*W) int4 carriers (quantize_kv_rows_4)
+    kv_scale: jnp.ndarray,  # (B, S, >=2H) f32 [ks|vs], lane-padded
+    pos: jnp.ndarray,
+    col_bias: jnp.ndarray | None = None,
+    *,
+    n_head: int,
+    head_dim: int,
+    block: int = DEFAULT_BLOCK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    b, s, w2 = kv_cache.shape
+    w = w2 // 2
+    d = head_dim
+    half = n_head * (d // 2)
+    hd = n_head * d
+    if kv_scale.shape[-1] % 128 != 0:
+        pad = 128 - kv_scale.shape[-1] % 128
+        kv_scale = jnp.pad(kv_scale, ((0, 0), (0, 0), (0, pad)))
+    s_pad = kv_scale.shape[-1]
+    has_bias = col_bias is not None
+    if not has_bias:
+        col_bias = jnp.zeros((b, 8), jnp.float32)
+
+    qhd = q.reshape(b, n_head, d)
+    qe = qhd[..., 0::2].reshape(b, half)
+    qo = qhd[..., 1::2].reshape(b, half)
+    if w > half:
+        qe = jnp.pad(qe, ((0, 0), (0, w - half)))
+        qo = jnp.pad(qo, ((0, 0), (0, w - half)))
+
+    kernel = functools.partial(
+        _kernel_q4, n_head=n_head, half_d=d // 2, w=w, block=block, batch=b,
+        has_bias=has_bias, s_pad=s_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, block, 2 * w), jnp.int8),
+                pltpu.VMEM((2, block, s_pad), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2 * w), q.dtype),
+        interpret=interpret,
+    )(
+        jnp.broadcast_to(pos.astype(jnp.int32).reshape(-1), (b,)),
+        qe.astype(jnp.bfloat16),
+        qo.astype(jnp.bfloat16),
+        kv_cache,
+        kv_scale,
+        col_bias.astype(jnp.float32),
+    )
+    # reassemble interleaved dims: halves -> (B, H, D/2, 2) -> (B, hd)
+    o_even = out[:, :w][:, :half].reshape(b, n_head, d // 2)
+    o_odd = out[:, w:][:, :half].reshape(b, n_head, d // 2)
+    return jnp.stack([o_even, o_odd], axis=-1).reshape(b, hd)

@@ -181,3 +181,60 @@ def dequantize_kv_slab(kv_q: jnp.ndarray, s: jnp.ndarray, n_head: int,
     d = hd2 // h2
     kv = kv_q.astype(jnp.float32).reshape(b, t, h2, d) * s[..., :h2, None]
     return kv.reshape(b, t, hd2).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Int4 KV cache: nibble-packed rows (2 values/byte along head_dim), per-head
+# scales. Halves the decode engine's second-largest HBM read again (the KV
+# slab); the flash kernel unpacks per block in VMEM under the DMA shadow
+# (ops/flash_decode2.flash_decode_attention2_q4). Quality is measured by the
+# same gate as the other modes (eval/quant_report.py, "kv4").
+# ---------------------------------------------------------------------------
+
+def kv4_row_width(n_head: int, head_dim: int) -> int:
+    """Carrier row bytes for one of k|v: H*D/2 nibble pairs, lane-padded to
+    128 (Mosaic block-DMA requirement)."""
+    half = n_head * (head_dim // 2)
+    return ((half + 127) // 128) * 128
+
+
+def quantize_kv_rows_4(kv_rows: jnp.ndarray, n_head: int):
+    """Interleaved [k|v] rows (..., 2*H*D) -> int4 carriers + scales.
+
+    Per-head symmetric int4 (q in [-7, 7], s = amax/7). Packing: adjacent
+    dim pairs share a byte — carrier j of head h = d_{2j} | d_{2j+1} << 4.
+    Returns (carriers (..., 2*W) int8 with W = kv4_row_width, scales
+    (..., 2*H) f32 in [k_scales | v_scales] order).
+    """
+    *lead, hd2 = kv_rows.shape
+    h2 = 2 * n_head
+    d = hd2 // h2
+    w = kv4_row_width(n_head, d)
+    kv = kv_rows.astype(jnp.float32).reshape(*lead, h2, d)
+    amax = jnp.max(jnp.abs(kv), axis=-1)
+    s = jnp.maximum(amax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(kv / s[..., None]), -7, 7).astype(jnp.int32)
+    even = q[..., 0::2]  # (..., h2, d/2)
+    odd = q[..., 1::2]
+    carrier = ((even & 0xF) | (odd << 4)).astype(jnp.int8)
+    carrier = carrier.reshape(*lead, 2, n_head * (d // 2))
+    pad = w - n_head * (d // 2)
+    if pad:
+        carrier = jnp.pad(carrier, [(0, 0)] * len(lead) + [(0, 0), (0, pad)])
+    return carrier.reshape(*lead, 2 * w), s
+
+
+def dequantize_kv4_slab(kv_c: jnp.ndarray, s: jnp.ndarray, n_head: int,
+                        head_dim: int, dtype=jnp.float32) -> jnp.ndarray:
+    """(B,S,2*W) carriers + (B,S,>=2H) scales -> (B,S,2*H*D) dtype."""
+    b, t, w2 = kv_c.shape
+    w = w2 // 2
+    d = head_dim
+    half = n_head * (d // 2)
+    c = kv_c.reshape(b, t, 2, w)[..., :half].astype(jnp.int32)
+    lo = (c << 28) >> 28
+    hi = c >> 4
+    q = jnp.stack([lo, hi], axis=-1).reshape(b, t, 2, n_head, d)
+    sv = s[..., : 2 * n_head].reshape(b, t, 2, n_head)
+    kv = q.astype(jnp.float32) * sv[..., None]
+    return kv.reshape(b, t, 2 * n_head * d).astype(dtype)

@@ -42,47 +42,64 @@ def forward_chunk(
     params,
     cfg: GPTConfig,
     caches: dec.Caches,
-    tokens: jnp.ndarray,  # (B, K) int32
+    tokens: Optional[jnp.ndarray],  # (B, K) int32, or None with emb
     pos: jnp.ndarray,     # (B,) int32 — chunk occupies [pos, pos+K)
     fused3: Optional[jnp.ndarray] = None,
     col_mask_full: Optional[jnp.ndarray] = None,
     control_strength=1.0,
     use_flash: bool = False,
+    emb: Optional[jnp.ndarray] = None,  # (B, K, dim) pre-embedded chunk
+    apply_fusion: bool = True,
+    prefill_fusion: bool = False,
 ) -> Tuple[jnp.ndarray, dec.Caches]:
     """K-token chunk forward with per-row base positions.
 
     Query j attends cache rows <= pos[b] + j (the chunk's own rows are
-    appended first, giving in-chunk causality for free). Returns logits
-    (B, K, vocab) for every chunk position. This is both the speculative
-    verify step and the chunked-prefill primitive.
+    appended first, giving in-chunk causality for free), with a diagonal
+    exception: a query always attends its own column even when col_mask
+    masks it (left-padded caption rows — matches prefill_flat's mask; keeps
+    the softmax finite for fully-masked rows). Returns logits (B, K, vocab)
+    for every chunk position. This is the speculative verify step AND the
+    chunked-prefill primitive (pass `emb` for prefix embeddings).
     """
-    b, k = tokens.shape
+    if emb is None:
+        b, k = tokens.shape
+        h = params["tok_embeddings"][tokens]  # (B, K, dim)
+    else:
+        b, k, _ = emb.shape
+        h = emb
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
-    h = params["tok_embeddings"][tokens]  # (B, K, dim)
     table = make_rope_table(cfg)
     rope = table[pos[:, None] + jnp.arange(k)[None]]  # (B, K, D/2, 2)
     fuse_pos = pos - cfg.cls_token_num + 1
 
     s_max = dec.cache_seq_len(caches)
     cols = jnp.arange(s_max)
-    # (B, 1, K, S): col <= pos + j
-    allow = cols[None, None, None, :] <= (pos[:, None] + jnp.arange(k)[None])[:, None, :, None]
+    own = (pos[:, None] + jnp.arange(k)[None])[:, None, :, None]
+    # (B, 1, K, S): col <= pos + j, with the diagonal exception
+    allow = cols[None, None, None, :] <= own
     if col_mask_full is not None:
-        allow = allow & col_mask_full[:, None, None, :]
+        allow = allow & (col_mask_full[:, None, None, :]
+                         | (cols[None, None, None, :] == own))
 
     def append(cache, kv_rows):
         # kv_rows (B, K, 2*HD')
         if isinstance(cache, dict):
-            q_rows, s_rows = quantize_kv_rows(kv_rows, cfg.kv_heads)
-            s_rows = dec._pad_scales(s_rows, cfg.kv_heads)
+            kk_ = dec._cache_kv_key(cache)
+            if kk_ == "kv4" and use_flash:
+                raise NotImplementedError(
+                    "kv4 flash chunk attention not implemented; use the int8 "
+                    "cache for speculative/chunked paths or use_flash=False")
+            q_rows, s_rows = dec._quantize_rows_for(cache, kv_rows,
+                                                    cfg.kv_heads)
             if use_flash:
-                return {"kv": cache_append_block(cache["kv"], q_rows, pos),
+                return {kk_: cache_append_block(cache[kk_], q_rows, pos),
                         "s": cache_append_block(cache["s"], s_rows, pos)}
             vdus = jax.vmap(
                 lambda c, r, p: jax.lax.dynamic_update_slice(c, r, (p, 0))
             )
-            return {"kv": vdus(cache["kv"], q_rows, pos),
+            return {kk_: vdus(cache[kk_], q_rows, pos),
                     "s": vdus(cache["s"], s_rows, pos)}
         kv_rows = kv_rows.astype(cache.dtype)
         if use_flash:
@@ -94,11 +111,19 @@ def forward_chunk(
     kvs = list(caches)
     for l in range(cfg.n_layer):
         lp = dec._layer_params(params, l)
-        if fused3 is not None and gate[l] > 0:
-            rows = jax.vmap(
-                lambda f, p: jax.lax.dynamic_slice_in_dim(f, p, k, axis=0)
-            )(fused3[fidx[l]], fuse_pos)
-            h = h + (control_strength * rows).astype(h.dtype)
+        if fused3 is not None and gate[l] > 0 and apply_fusion:
+            if prefill_fusion:
+                # prefix semantics (prefill_flat): control row 0 lands on the
+                # LAST prefix position only
+                is_last = ((pos[:, None] + jnp.arange(k))
+                           == cfg.cls_token_num - 1)[..., None]
+                add = (control_strength * fused3[fidx[l]][:, 0:1]).astype(h.dtype)
+                h = h + jnp.where(is_last, add, 0)
+            else:
+                rows = jax.vmap(
+                    lambda f, p: jax.lax.dynamic_slice_in_dim(f, p, k, axis=0)
+                )(fused3[fidx[l]], fuse_pos)
+                h = h + (control_strength * rows).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
         q, kk, v = _qkv(lp, cfg, x, rope)  # (B, K, H, D)
         kv_rows = jnp.concatenate(
@@ -124,8 +149,7 @@ def forward_chunk(
                     n_head=cfg.n_head,
                 ).astype(h.dtype)
         else:
-            slab = (dequantize_kv_slab(kvs[l]["kv"], kvs[l]["s"],
-                                       cfg.kv_heads, h.dtype)
+            slab = (dec._dequant_slab(kvs[l], cfg, h.dtype)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
@@ -392,3 +416,37 @@ def generate_spec(
     if return_stats:
         return tokens, {"accepted_per_cycle": acc, "k_draft": k_draft}
     return tokens
+
+
+def prefill_chunked(
+    params,
+    cfg: GPTConfig,
+    caches: dec.Caches,
+    prefix_emb: jnp.ndarray,
+    fused3: Optional[jnp.ndarray] = None,
+    col_mask: Optional[jnp.ndarray] = None,
+    control_strength=1.0,
+    *,
+    chunk: int = 256,
+    use_flash: bool = True,
+) -> Tuple[jnp.ndarray, dec.Caches]:
+    """Chunked prefill through the flash-chunk kernels (drop-in for
+    decode.prefill_flat): the prefix streams through forward_chunk in
+    `chunk`-token pieces, so long MR prefixes never materialize a (T, T)
+    XLA attention or touch the full slab per token. Returns
+    (last-position logits, caches)."""
+    b, t, _ = prefix_emb.shape
+    s_max = dec.cache_seq_len(caches)
+    col_mask_full = None
+    if col_mask is not None:
+        col_mask_full = jnp.concatenate(
+            [col_mask.astype(bool),
+             jnp.ones((b, s_max - col_mask.shape[1]), dtype=bool)], axis=1)
+    logits = None
+    for c0 in range(0, t, chunk):
+        ck = min(chunk, t - c0)
+        logits, caches = forward_chunk(
+            params, cfg, caches, None, jnp.full((b,), c0, jnp.int32),
+            fused3, col_mask_full, control_strength, use_flash=use_flash,
+            emb=prefix_emb[:, c0:c0 + ck], prefill_fusion=True)
+    return logits[:, -1], caches

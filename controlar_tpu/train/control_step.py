@@ -88,6 +88,7 @@ def make_control_train_step(
     frozen: Optional[Dict[str, Any]] = None,
     ema_decay: Optional[float] = None,
     compute_dtype=jnp.bfloat16,
+    remat_policy: str = "full",
 ):
     """Params pytree: {'gpt': ..., 'adapter': ...} (both optimized).
 
@@ -134,6 +135,7 @@ def make_control_train_step(
             valid=batch.get("valid"),
             rng=model_rng,
             deterministic=False,
+            remat_policy=remat_policy,
         )
         return loss
 

@@ -52,6 +52,9 @@ class TrainerConfig:
     global_batch_size: int = 32
     epochs: int = 10
     ema: bool = False
+    # backward rematerialization: "full" (recompute whole layers, min
+    # HBM), "dots" (save matmul outputs), "none" (save everything)
+    remat_policy: str = "full"
     ema_decay: float = 0.9999
     class_dropout_prob: float = 0.1
     # mesh
@@ -138,6 +141,7 @@ class Trainer:
             make_control_train_step(
                 self.gpt_cfg, self.adapter_cfg, self.tx, cfg.condition_type,
                 frozen=frozen, ema_decay=cfg.ema_decay if cfg.ema else None,
+                remat_policy=cfg.remat_policy,
             ),
             donate_argnums=0,
         )

@@ -17,8 +17,24 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--image-size", type=int, default=256)
+    ap.add_argument("--remat", default="full",
+                    help="full | dots | none (comma list sweeps)")
     args = ap.parse_args()
 
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from controlar_tpu.train.trainer import Trainer, TrainerConfig
+
+    results = {}
+    for remat in args.remat.split(","):
+        results[remat] = _run(args, remat)
+    if len(results) > 1:
+        print("remat sweep:", {k: f"{v:.1f} ms/step" for k, v in results.items()})
+
+
+def _run(args, remat):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -28,7 +44,7 @@ def main():
     tcfg = TrainerConfig(
         gpt_model=args.size, model_type="t2i", image_size=args.image_size,
         condition_type="canny", global_batch_size=args.batch,
-        results_dir="/tmp/bench_train",
+        results_dir="/tmp/bench_train", remat_policy=remat,
     )
     trainer = Trainer(tcfg)
     state = trainer.init_state()
@@ -60,9 +76,11 @@ def main():
         jax.device_get(m["loss"])
         dt = (time.perf_counter() - t0) / args.steps
     n_chips = jax.device_count()
-    print(f"{args.size} {args.image_size}px batch {args.batch}: "
-          f"{dt * 1e3:.1f} ms/step = {args.batch / dt / n_chips:.1f} "
-          f"imgs/sec/chip ({n_chips} chip(s))", flush=True)
+    print(f"{args.size} {args.image_size}px batch {args.batch} "
+          f"remat={remat}: {dt * 1e3:.1f} ms/step = "
+          f"{args.batch / dt / n_chips:.1f} imgs/sec/chip "
+          f"({n_chips} chip(s))", flush=True)
+    return dt * 1e3
 
 
 if __name__ == "__main__":

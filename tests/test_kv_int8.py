@@ -150,3 +150,59 @@ def test_q8_append_kernel_matches_separate_ops():
         q, nq, ns, qkv, scales, pos, jnp.asarray(bias), n_head=H, block=64,
         interpret=True)
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-2, atol=3e-2)
+
+
+def test_q4_flash_kernel_matches_dequant_attention():
+    """flash_decode_attention2_q4 == bf16 flash over the dequantized slab,
+    incl. odd head_dims, per-slot positions and column bias."""
+    from controlar_tpu.ops.flash_decode2 import (
+        flash_decode_attention2, flash_decode_attention2_q4)
+    from controlar_tpu.quant import dequantize_kv4_slab, quantize_kv_rows_4
+
+    rng = np.random.default_rng(4)
+    for H, D in [(2, 8), (2, 10)]:
+        hd = H * D
+        B, S = 3, 128
+        kv = rng.standard_normal((B, S, 2 * hd)).astype(np.float32)
+        c, s = quantize_kv_rows_4(jnp.asarray(kv), H)
+        pos = jnp.asarray([4, 77, 120], jnp.int32)
+        q = jnp.asarray(rng.standard_normal((B, hd)) * 0.5, jnp.float32)
+        bias = np.where(rng.random((B, S)) < 0.2, -1e9, 0.0).astype(np.float32)
+        bias[:, :5] = 0  # keep at least the first rows attendable
+
+        deq = dequantize_kv4_slab(c, s, H, D, jnp.bfloat16)
+        want = np.asarray(flash_decode_attention2(
+            q, deq, pos, jnp.asarray(bias), n_head=H, block=64,
+            interpret=True))
+        got = np.asarray(flash_decode_attention2_q4(
+            q, c, s, pos, jnp.asarray(bias), n_head=H, head_dim=D, block=64,
+            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+        # no-bias path
+        want = np.asarray(flash_decode_attention2(
+            q, deq, pos, None, n_head=H, block=64, interpret=True))
+        got = np.asarray(flash_decode_attention2_q4(
+            q, c, s, pos, None, n_head=H, head_dim=D, block=64,
+            interpret=True))
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_generate_with_kv4_cache_runs_and_close():
+    """Full decode with the int4 KV cache (CPU dequant path): shapes sane,
+    logits in the quantized neighborhood of bf16."""
+    from controlar_tpu import generate as jgen2
+
+    from controlar_tpu.config import GPTConfig as _G
+
+    cfg = _G(model_type="c2i", dim=64, n_layer=2, n_head=2, cls_token_num=1,
+             block_size=16, vocab_size=64, num_classes=8)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    kw = dict(labels=jnp.arange(3), max_new_tokens=16, cfg_scale=2.0,
+              sample_logits=False, rng=jax.random.PRNGKey(1), use_flash=False)
+    ref = np.asarray(jgen2.generate(params, cfg, **kw))
+    got = np.asarray(jgen2.generate(params, cfg, cache_dtype=jnp.int4, **kw))
+    assert got.shape == ref.shape
+    assert (got >= 0).all() and (got < 64).all()
+    # kv4 noise at tiny scale: most tokens still match the bf16 rollout
+    assert (got == ref).mean() > 0.4, (got == ref).mean()

@@ -145,3 +145,19 @@ def test_quant_agreement_gate():
     for m in rep.values():
         assert 0 <= m["free_running_match"] <= 1
         assert 0 <= m["mean_prefix_survival"] <= 64
+
+
+def test_unstack_cache_distinguishes_quantized_tree():
+    """Regression: unstack(params) then unstack(quantize(params)) must NOT
+    alias (the cache once keyed on the first leaf, which quantization leaves
+    untouched — the quant-report then silently measured bf16 vs bf16)."""
+    from controlar_tpu import decode as dec
+
+    cfg = GPTConfig(model_type="c2i", dim=32, n_layer=2, n_head=2,
+                    cls_token_num=1, block_size=4, vocab_size=32,
+                    num_classes=4)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    base = dec.unstack_layers(params)
+    qp = dec.unstack_layers(quant.quantize_gpt_params(params))
+    assert quant.is_quantized(qp["layers"][0]["w1"])
+    assert not quant.is_quantized(base["layers"][0]["w1"])

@@ -240,3 +240,41 @@ def test_cache_append_block_interpret():
         finally:
             pl.pallas_call = orig
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_prefill_chunked_matches_prefill_flat():
+    """Chunked prefill == one-shot prefill: logits + caches, t2i masks with
+    fully-left-padded rows, control fusion on the last prefix position."""
+    from controlar_tpu import decode as dec
+
+    cfg = GPTConfig(model_type="t2i", dim=64, n_layer=2, n_head=4,
+                    cls_token_num=12, block_size=16, vocab_size=64,
+                    caption_dim=48)
+    params = dec.unstack_layers(
+        jgpt.init_gpt_params(jax.random.PRNGKey(5), cfg))
+    rng = np.random.default_rng(0)
+    b = 2
+    prefix = jnp.asarray(rng.standard_normal((b, 12, cfg.dim)), jnp.float32)
+    col_mask = jnp.asarray(
+        [[0] * 5 + [1] * 7, [0] * 2 + [1] * 10], jnp.int32)
+    fused3 = jnp.asarray(
+        rng.standard_normal((3, b, cfg.block_size, cfg.dim)) * 0.1,
+        jnp.float32)
+
+    s_max = 64
+    want_l, want_c = dec.prefill_flat(
+        params, cfg, dec.init_flat_caches(cfg, b, s_max),
+        prefix, fused3, col_mask.astype(bool), 0.8)
+    for chunk in (4, 5, 12):
+        got_l, got_c = spec_decode.prefill_chunked(
+            params, cfg, dec.init_flat_caches(cfg, b, s_max),
+            prefix, fused3, col_mask, 0.8, chunk=chunk, use_flash=False)
+        np.testing.assert_allclose(np.asarray(got_l), np.asarray(want_l),
+                                   rtol=3e-4, atol=3e-4)
+        for a, bb in zip(jax.tree.leaves(got_c), jax.tree.leaves(want_c)):
+            # only prefix rows are written
+            # chunked attention accumulates in a different f32 order and
+            # re-casts at chunk boundaries: bf16-ulp-level drift expected
+            np.testing.assert_allclose(np.asarray(a)[:, :12],
+                                       np.asarray(bb)[:, :12],
+                                       rtol=2e-2, atol=2e-3)

@@ -100,3 +100,22 @@ def test_w4_generate_runs_and_close():
     rel = np.abs(np.asarray(l_w4) - np.asarray(l_ref)).max() / (
         np.abs(np.asarray(l_ref)).max() + 1e-9)
     assert rel < 0.25, rel
+
+
+def test_kv4_pack_roundtrip():
+    from controlar_tpu.quant import (
+        dequantize_kv4_slab, kv4_row_width, quantize_kv_rows_4)
+
+    rng = np.random.default_rng(3)
+    for H, D in [(2, 8), (4, 100), (12, 64)]:
+        kv = jnp.asarray(rng.standard_normal((2, 5, 2 * H * D)), jnp.float32)
+        c, s = quantize_kv_rows_4(kv, H)
+        assert c.shape == (2, 5, 2 * kv4_row_width(H, D))
+        assert c.dtype == jnp.int8 and s.shape == (2, 5, 2 * H)
+        back = np.asarray(dequantize_kv4_slab(c, s, H, D))
+        err = np.abs(back - np.asarray(kv))
+        # int4 per-head: |err| <= s/2
+        smax = np.asarray(s).max()
+        assert err.max() <= smax / 2 + 1e-6
+        rel = err.max() / np.abs(np.asarray(kv)).max()
+        assert rel < 0.15, rel
