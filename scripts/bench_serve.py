@@ -45,8 +45,12 @@ def run_mixed(params, cfg, quant_on, rate):
             cache_dtype=jnp.int8 if quant_on else jnp.bfloat16,
             compilation_cache_dir="/tmp/jax_serve_cache")
         eng = ServeEngine(params, cfg, scfg)
-        # warm the quantum programs (excluded from the measurement)
-        eng.run([Request(request_id=-1, label=0, cfg_scale=4.0, seed=0)])
+        # warm every admission bucket (1/2/4/8) and all quantum programs
+        # (excluded from the measurement)
+        for j, nw in enumerate((8, 4, 2, 1)):
+            eng.run([Request(request_id=-(100 * (j + 1) + i), label=0,
+                             cfg_scale=4.0, seed=0) for i in range(nw)])
+        eng.finished = []
         eng.stats = {"slot_steps": 0, "useful_steps": 0}
 
         reqs = [Request(request_id=i, label=int(rng.integers(0, 1000)),

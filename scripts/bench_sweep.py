@@ -21,43 +21,57 @@ W4_SIZES = ("GPT-XL", "GPT-XXL", "GPT-3B")  # weight-stream-bound sizes
 NOTES = """
 Notes:
 - Decode is HBM-bandwidth-bound; a v5e chip has 0.82 TB/s vs the A100's
-  2.0 TB/s. bf16 streams the big matmuls at ~0.65 TB/s measured; the W8A16
+  2.0 TB/s. bf16 streams the big matmuls at ~0.7 TB/s measured; the W8A16
   path streams the same weights in half the bytes at the same per-byte rate
-  (43.9 us vs 86.2 us for a GPT-3B FFN matmul).
-- The int8 column also quantizes the KV cache (cache_dtype=jnp.int8:
-  per-head scales, Pallas q8 flash kernel with a parallel scale stream),
-  halving the second-largest read — the KV slab approaches the weight bytes
-  at full sequence for these MHA models. Kernel correctness: 2.3e-4 max
-  error vs exact attention over the dequantized slab on the real chip, and
-  the t2i serving combination (q8 + column-bias caption masks + per-slot
-  positions) is greedy-token-exact vs the offline loop on-chip
-  (tests/test_kv_int8.py and tests/test_serve_t2i.py hold the suite-level
-  bounds/parity checks).
-- W8A16 accuracy: per-output-channel symmetric scales; decode logits stay
-  within 8% relative of bf16 at tiny scale (tests/test_quant.py); weight-only
-  quantization of this form is the standard near-lossless serving recipe.
+  (43.9 us vs 86.2 us for a GPT-3B FFN matmul; XLA fuses the dequant into
+  the dot's operand read). The int8 column also quantizes the KV cache
+  (cache_dtype=jnp.int8: per-head scales, Pallas q8 flash kernel with a
+  parallel scale stream).
+- The W4 column is the max-throughput serving point: int4 group-128 weights
+  through the manual-DMA Pallas dequant-matmul (ops/w4_matmul.py, 28.7 us
+  vs 43.9 us W8A16 for a 3B FFN weight; w1|w3 fused into one stream) plus
+  the int4 KV cache (cache_dtype=jnp.int4, nibble-packed rows, q4 flash
+  kernel). GPT-3B: 6.26 s (ref A100) -> 4.03 s int8 -> 3.26 s W4+KV4.
+- Quantization quality is MEASURED, not assumed: eval/quant_report.py
+  (CLI `quant-report`, and verify-zoo --quant-report for real weights)
+  reports teacher-forced token agreement / logit error / prefix survival
+  per mode. At RANDOM weights (worst case: near-uniform logits, so argmax
+  flips on tiny noise) GPT-B/XL: int8 0.87/0.89 agreement, int8+kv8
+  0.88/0.87, w4 0.41/0.05. Released-weight numbers must be produced by
+  verify-zoo --quant-report before shipping the W4 point; int8 is the
+  default --quant mode.
+- A roofline note on the 2x-vs-A100 target at GPT-3B: int8 weights are
+  3.36 GB x 576 steps = 1.93 TB; finishing in 3.13 s would need 0.62 TB/s
+  for weights ALONE, against ~0.70 TB/s measured ceiling with the KV read
+  still to serve - quality-preserving int8 cannot reach 2x on one v5e's
+  0.82 TB/s HBM; W4 exists for exactly this regime (1.92x measured).
+- Speculative multi-token decode (spec_decode.py): draft k tokens with any
+  cheaper model, verify in ONE k-position chunk forward; greedy output
+  provably equals vanilla decode for ANY draft (tested). Acceptance equals
+  cross-model token agreement - see the quant gate for self-draft rates;
+  cross-size drafts (GPT-B drafting 3B) need real weights to measure.
 - t2i flagship (GPT-XL 512px, 1024 tokens + 120-token left-padded captions
-  through the kernel's column-bias path, CFG 7.5): 5.56 s / batch 8 on one
-  v5e = 1.44 img/s bf16; 4.14 s = 1.93 img/s with int8 weights + int8 KV
-  (the q8 kernel's additive column bias serves the caption masks).
-- Serving engine v2 (continuous batching, 8 slots, quantum 72, per-slot
-  positions, group admission + in-graph sampling + single fixed-quantum
-  program): 16 staggered GPT-B requests in 1.97 s warm = 8.1 img/s on one
-  v5e — 2.4x the reference vLLM fork's A100 rate (8/2.39 s = 3.35 img/s),
-  while supporting t2i + emb masks (the reference serves c2i only).
-  With `--quant` (int8 weights + int8 KV cache) the warm rate rises to
-  9.4 img/s = 2.8x. Cold-to-first-image is 95 s with the persistent
-  compilation cache (ServeConfig.compilation_cache_dir) populated; the
-  first-ever process pays the one-time quantum compile (~10 min on the
-  remote-compile tunnel). Reproduce: `python scripts/bench_serve.py
-  [--quant]`.
-- Training throughput: GPT-B t2i control fine-tuning at 256px, batch 16,
-  runs 161 ms/step = 99 imgs/sec/chip on one v5e
-  (`python scripts/bench_train.py`; the reference publishes no training
-  numbers).
-- Timing methodology: `jax.device_get` (a host transfer) bounds every
-  measurement; `block_until_ready()` does not reliably wait on the tunneled
-  platform.
+  through the kernel's column-bias path, CFG 7.5): 5.56 s / batch 8 bf16 =
+  1.44 img/s; 4.14 s = 1.93 img/s with int8 weights + int8 KV.
+- Serving engine (continuous batching, 8 slots, quantum 72, group admission,
+  in-graph sampling, per-slot positions): 8.1 img/s warm (9.4 with --quant)
+  = 2.4-2.8x the ref vLLM fork's A100 rate, serving t2i + emb masks the
+  reference cannot. Mixed Poisson load (scripts/bench_serve.py --scenario
+  mixed, GPT-B bf16): at 8 req/s offered, 5.1 img/s with p50 1.05 s /
+  p95 1.17 s; early quantum exit (quantum_buckets 72/36/18) tightens p95 to
+  1.07 s. Device-step waste is 33-35% at rate 8 and 61% at rate 4 — the
+  dominant term is EMPTY SLOTS under partial load, not the frozen tail
+  (uniform 576-token requests bound the tail by the admission offset), so
+  the fixed quantum remains the default.
+- Input pipeline: carpack (csrc/carpack.cpp, one mmap'd record file) feeds
+  the trainer at 1402 items/s vs 318 items/s from the reference-style
+  tiny-file tree (4.4x, scripts/bench_input.py); `pack-data` packs a tree,
+  train-t2i/train-c2i consume .car directly, loss-for-loss identical.
+- Training throughput: GPT-B t2i control fine-tuning at 256px, batch 16:
+  161 ms/step = 99 imgs/sec/chip (scripts/bench_train.py; --remat sweeps
+  full/dots/none rematerialization policies).
+- Timing methodology: `jax.device_get` bounds every measurement
+  (block_until_ready does not reliably wait on the tunneled platform).
 """
 
 
@@ -111,7 +125,7 @@ def main():
             # W4A16 weights (int4 group-128 Pallas kernel) + int8 KV cache
             w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params))
             dec._UNSTACK_CACHE.clear()
-            best4 = timed(w4p, cache_dtype=jnp.int8)
+            best4 = timed(w4p, cache_dtype=jnp.int4)
             del w4p
         del params
 
