@@ -31,7 +31,10 @@ Notes:
   through the manual-DMA Pallas dequant-matmul (ops/w4_matmul.py, 28.7 us
   vs 43.9 us W8A16 for a 3B FFN weight; w1|w3 fused into one stream) plus
   the int4 KV cache (cache_dtype=jnp.int4, nibble-packed rows, q4 flash
-  kernel). GPT-3B: 6.26 s (ref A100) -> 4.03 s int8 -> 3.26 s W4+KV4.
+  kernel). It pays only where the weight stream dominates: GPT-3B (24 wide
+  layers) gets 6.26 s (ref A100) -> 4.03 s int8 -> 3.27 s W4+KV4; at
+  XL/XXL the per-call fixed costs and the KV4 VPU unpack outweigh the byte
+  savings (int8 stays faster there) - pick the mode per size.
 - Quantization quality is MEASURED, not assumed: eval/quant_report.py
   (CLI `quant-report`, and verify-zoo --quant-report for real weights)
   reports teacher-forced token agreement / logit error / prefix survival
