@@ -52,6 +52,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--output-dir", default="samples")
     p.add_argument("--quant", action="store_true",
                    help="int8 weight streaming (+ int8 KV cache where applicable)")
+    p.add_argument("--spec-draft", default=None, choices=["int8", "w4"],
+                   help="speculative decode with a quantized self-draft "
+                        "(greedy; output identical to non-speculative greedy)")
 
 
 def _build_pipeline(args, model_type: str):
@@ -152,6 +155,7 @@ def cmd_sample_c2i(args):
         labels=labels, condition_images=cond, cfg_scale=args.cfg_scale,
         temperature=args.temperature, top_k=args.top_k, top_p=args.top_p,
         control_strength=args.control_strength, seed=args.seed,
+        spec_draft=getattr(args, 'spec_draft', None),
         cache_dtype=jnp.int8 if args.quant else None,
     )
     os.makedirs(args.output_dir, exist_ok=True)
@@ -323,6 +327,7 @@ def cmd_sample_t2i(args):
         cfg_scale=args.cfg_scale, temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p,
         control_strength=args.control_strength, seed=args.seed,
+        spec_draft=getattr(args, 'spec_draft', None),
         cache_dtype=jnp.int8 if args.quant else None,
     )
     os.makedirs(args.output_dir, exist_ok=True)

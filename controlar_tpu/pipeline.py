@@ -122,10 +122,13 @@ class ControlARPipeline:
         canny_low: int = 100,
         canny_high: int = 200,
         preprocess_condition: bool = True,
+        spec_draft: Optional[str] = None,
     ) -> np.ndarray:
         """Returns generated images as uint8 (B, H, W, 3). cache_dtype
-        jnp.int8 selects the quantized KV cache (pairs with int8 weights via
-        quant.quantize_gpt_params on gpt_params)."""
+        jnp.int8/int4 selects the quantized KV cache (pairs with the
+        quantized weight modes on gpt_params). spec_draft ("int8" | "w4")
+        decodes speculatively with a quantized self-draft — greedy only,
+        output identical to greedy decoding without speculation."""
         adapter_feats = None
         if condition_images is not None:
             cond = self.extract_condition(
@@ -135,22 +138,41 @@ class ControlARPipeline:
             adapter_feats = self.control_features(cond)
 
         extra = {} if cache_dtype is None else {"cache_dtype": cache_dtype}
-        tokens = jgen.generate(
-            self.gpt_params,
-            self.gpt_cfg,
-            **extra,
+        common = dict(
             labels=None if labels is None else jnp.asarray(labels),
             caption_emb=None if caption_emb is None else jnp.asarray(caption_emb),
             emb_masks=None if emb_masks is None else jnp.asarray(emb_masks),
             adapter_features=adapter_feats,
             max_new_tokens=self.gpt_cfg.block_size,
             cfg_scale=cfg_scale,
-            temperature=temperature,
-            top_k=top_k,
-            top_p=top_p,
             control_strength=control_strength,
-            rng=jax.random.PRNGKey(seed),
         )
+        if spec_draft is not None:
+            from controlar_tpu import decode as _dec
+            from controlar_tpu import quant as _quant
+            from controlar_tpu import spec_decode as _spec
+
+            base = _dec.unstack_layers(self.gpt_params)
+            if spec_draft == "w4":
+                draft = _quant.quantize_gpt_params_w4(base)
+            elif spec_draft == "int8":
+                draft = _dec.unstack_layers(
+                    _quant.quantize_gpt_params(self.gpt_params))
+            else:
+                raise ValueError(spec_draft)
+            tokens = _spec.generate_spec(
+                self.gpt_params, self.gpt_cfg, draft, **extra, **common)
+        else:
+            tokens = jgen.generate(
+                self.gpt_params,
+                self.gpt_cfg,
+                **extra,
+                **common,
+                temperature=temperature,
+                top_k=top_k,
+                top_p=top_p,
+                rng=jax.random.PRNGKey(seed),
+            )
         gh, gw = self.gpt_cfg.grid
         codes = tokens.reshape(-1, gh, gw)
         imgs = vq_model.decode_code(self.vq_params, self.vq_cfg, codes)

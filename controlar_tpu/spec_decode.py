@@ -19,6 +19,23 @@ greedy decode REGARDLESS of the draft (rejections fall back to the target's
 own argmax). Per-row acceptance bookkeeping: each logical batch row advances
 by its own accepted count (per-row positions, per-row output offsets), so
 one slow row never throttles the others' acceptance.
+
+Numerics caveat (TPU): "identical" means identical under one scoring
+function. The CPU suite proves algorithmic exactness (spec == vanilla
+bit-for-bit when both share the attention program). On TPU, an eager decode
+step, the XLA chunk, and the flash chunk kernel all produce BIT-IDENTICAL
+logits to each other, but the lax.scan-fused vanilla loop body compiles to
+slightly different bf16 arithmetic; at near-ties the argmax flips (measured
+0.055 on O(10) logits at the first flip). At RANDOM weights (pathologically
+small top-1 margins over 16k classes) this flips ~1% of steps; with real
+trained weights the margins make it vanish. Speculation economics: speedup
+= (E[accepted]+1) * t_target / (k * t_draft + t_verify) — a quantized
+SELF-draft is not cheaper than the target's own quantized step, so
+self-speculation only upgrades quality (bf16-exact output at near-int8
+cost); real gains need a cross-size draft (GPT-B drafting GPT-3B), whose
+acceptance requires released weights to measure. Measured int8-self-draft
+acceptance at GPT-B, k=4: 3.26/4 per cycle (alpha = 0.82, consistent with
+the quant gate's 0.87 teacher-forced agreement).
 """
 from __future__ import annotations
 

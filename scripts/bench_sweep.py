@@ -50,9 +50,15 @@ Notes:
   0.82 TB/s HBM; W4 exists for exactly this regime (1.92x measured).
 - Speculative multi-token decode (spec_decode.py): draft k tokens with any
   cheaper model, verify in ONE k-position chunk forward; greedy output
-  provably equals vanilla decode for ANY draft (tested). Acceptance equals
-  cross-model token agreement - see the quant gate for self-draft rates;
-  cross-size drafts (GPT-B drafting 3B) need real weights to measure.
+  provably equals vanilla decode for ANY draft (CPU suite, bit-for-bit;
+  on TPU the scanned vanilla loop's scan-body fusion differs at bf16
+  epsilon, flipping near-ties that only random-weight margins produce -
+  the eager step, XLA chunk and flash chunk kernels are bit-identical).
+  Measured int8-self-draft acceptance at GPT-B k=4: 0.82/token (matches
+  the quant gate's 0.87 teacher-forced agreement). Self-drafts are not
+  cheaper than the target's own quantized step, so speculation pays with
+  CROSS-SIZE drafts (GPT-B drafting 3B) - acceptance there needs real
+  released weights to measure; the machinery + equality tests are in.
 - t2i flagship (GPT-XL 512px, 1024 tokens + 120-token left-padded captions
   through the kernel's column-bias path, CFG 7.5): 5.56 s / batch 8 bf16 =
   1.44 img/s; 4.14 s = 1.93 img/s with int8 weights + int8 KV.
