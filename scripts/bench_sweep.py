@@ -71,7 +71,13 @@ Notes:
   1.07 s. Device-step waste is 33-35% at rate 8 and 61% at rate 4 — the
   dominant term is EMPTY SLOTS under partial load, not the frozen tail
   (uniform 576-token requests bound the tail by the admission offset), so
-  the fixed quantum remains the default.
+  the fixed quantum remains the default. Cold start: `serve-warmup` is the
+  deploy-time priming step (compiles every admission bucket + quantum
+  program into the persistent cache). Measured cold-to-first-image on the
+  remote-compile tunnel is dominated by the tunnel itself and varies
+  run-to-run (404 s empty-cache and 1185 s on a repeat that should have
+  been cache-warm, vs 95 s in round-2 conditions); a real TPU host
+  compiles locally without these roundtrips.
 - Input pipeline: carpack (csrc/carpack.cpp, one mmap'd record file) feeds
   the trainer at 1402 items/s vs 318 items/s from the reference-style
   tiny-file tree (4.4x, scripts/bench_input.py); `pack-data` packs a tree,
