@@ -36,19 +36,26 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-GROUP = 128  # quantization group size along K (rows per scale)
+GROUP = 128  # default quantization group size along K (rows per scale)
 
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def quantize_weight_w4(w: jnp.ndarray, group: int = GROUP) -> Dict[str, jnp.ndarray]:
+def group_of(q4: jnp.ndarray, s: jnp.ndarray) -> int:
+    """Derive the (static) group size from the packed shapes."""
+    return 2 * q4.shape[0] // s.shape[0]
+
+
+def quantize_weight_w4(w: jnp.ndarray, group: int = GROUP
+                       ) -> Dict[str, jnp.ndarray]:
     """(K, N) float -> {"q4": (Kp/2, N) int8 carriers, "s": (Kp/group, N) f32}.
 
     Symmetric per-(group, out-channel) int4: q in [-7, 7] (symmetric range,
     -8 unused, matching AWQ-style symmetric grids). K is zero-padded to a
-    multiple of 2*group; padded rows quantize to 0 and contribute nothing.
+    multiple of 2*group; padded planes quantize to exactly 0, which lets the
+    kernel skip their dots and read x unpadded (see _w4_kernel).
     """
     k, n = w.shape
     kp = _pad_to(k, 2 * group)
@@ -74,7 +81,7 @@ def dequantize_weight_w4(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16,
     """
     c = qw["q4"].astype(jnp.int32)
     kp2, n = c.shape
-    g = GROUP
+    g = group_of(qw["q4"], qw["s"])
     lo = ((c << 28) >> 28).reshape(kp2 // g, g, n)
     hi = (c >> 4).reshape(kp2 // g, g, n)  # arithmetic: sign-extends
     planes = jnp.stack([lo, hi], axis=1).reshape(2 * kp2 // g, g, n)
@@ -83,26 +90,40 @@ def dequantize_weight_w4(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16,
     return (w if k is None else w[:k]).astype(dtype)
 
 
-def _nslot(n: int) -> int:
-    """Pipeline depth bounded by VMEM: slots (GROUP x N int8) + out/scales
-    must fit the 16 MB scoped limit."""
-    budget = 11 * 1024 * 1024  # leave room for out + scales + x
-    return max(2, min(6, budget // (GROUP * n)))
+def _nslot(group: int, n: int, bp: int, nchunks: int) -> int:
+    """Pipeline depth bounded by VMEM: slot buffers plus the kernel's other
+    VMEM residents (f32 out, scales, plane-major x at bf16 lane padding)
+    must fit the 16 MB scoped limit, with ~1.5 MB headroom for Mosaic's own
+    stack (accumulators, spills)."""
+    out_b = bp * n * 4
+    s_b = 2 * nchunks * n * 4
+    x_b = 2 * nchunks * max(bp, 16) * _pad_to(group, 128) * 2
+    acc_b = 3 * bp * n * 4  # acc + dl + dh f32 loop temporaries (measured)
+    budget = int(15.25 * 1024 * 1024) - out_b - s_b - x_b - acc_b
+    return max(2, min(6, budget // (group * n)))
 
 
 def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
-               *, nchunks: int, nslot: int):
+               *, nchunks: int, nslot: int, group: int, nfull: int):
     """Single-program manual-DMA kernel: NSLOT-deep double buffering of
     GROUP-row carrier chunks (full N width, contiguous HBM reads), unpack
     (VPU) + two group dots (MXU) per chunk under the DMA shadow.
 
     An auto-pipelined grid version measured 38.5 us/weight vs 28.7 us here
     and a 20.7 us pure-DMA floor (GPT-3B FFN shape): Mosaic's grid pipeline
-    did not overlap the unpack with the block fetches; manual DMA does."""
+    did not overlap the unpack with the block fetches; manual DMA does.
+
+    x arrives UNPADDED (bp, nfull*group): only the first `nfull` g-wide
+    planes are real; any trailing plane is quantization padding whose weight
+    nibbles are exactly 0, so its dot is skipped rather than fed zero-padded
+    x (saves the per-call (bp, Kp) pad copy — 96/step at GPT-3B — and one
+    MXU dot). When nfull is odd the last chunk's lo-plane dot runs in a
+    statically-peeled epilogue so every lane offset stays a literal
+    128-multiple (Mosaic's dynamic-slice alignment rule)."""
 
     def get(slot, i):
         return pltpu.make_async_copy(
-            q_hbm.at[pl.ds(i * GROUP, GROUP), :], buf.at[slot],
+            q_hbm.at[pl.ds(i * group, group), :], buf.at[slot],
             sem.at[slot])
 
     for w in range(min(nslot - 1, nchunks)):
@@ -121,15 +142,26 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
         hi = (c >> 4).astype(jnp.bfloat16)
         sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
         sh = s_ref[pl.ds(2 * p + 1, 1), :].astype(jnp.float32)
-        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, ...)
-        xl = x_ref[:, pl.ds(2 * p * GROUP, GROUP)]
-        xh = x_ref[:, pl.ds((2 * p + 1) * GROUP, GROUP)]
+        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, .)
+        xl = x_ref[:, pl.ds(2 * p * group, group)]
+        xh = x_ref[:, pl.ds((2 * p + 1) * group, group)]
         dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
         dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
         return acc + dl * sl + dh * sh
 
+    nbody = nfull // 2
     acc = jax.lax.fori_loop(
-        0, nchunks, body, jnp.zeros(o_ref.shape, jnp.float32))
+        0, nbody, body, jnp.zeros(o_ref.shape, jnp.float32))
+    if nfull % 2:
+        # epilogue: chunk nbody's lo plane is the last real one; its hi
+        # plane is zero-quantized padding — skip that dot entirely
+        p = nbody
+        get(p % nslot, p).wait()
+        c = buf[p % nslot][:].astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
+        xl = x_ref[:, pl.ds(2 * p * group, group)]
+        acc = acc + jnp.dot(xl, lo, preferred_element_type=jnp.float32) * sl
     o_ref[:] = acc
 
 
@@ -138,19 +170,34 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
               out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
     """x (B, K) bf16 @ w4 (K, N) -> (B, N) out_dtype.
 
-    x is zero-padded to the carrier's padded Kp; B is padded to the bf16
-    sublane tile (16). N must be a 128 multiple (all model dims are).
+    When K is a group multiple (every model dim is), x passes through
+    unpadded and the kernel skips the zero-quantized padding planes;
+    otherwise x is zero-padded to the carrier's padded Kp. B is padded to
+    the bf16 sublane tile (16). N must be a 128 multiple.
     """
     b, k = x.shape
     kp2, n = q4.shape
     kp = 2 * kp2
-    nchunks = kp2 // GROUP
-    nslot = _nslot(n)
+    group = 2 * kp2 // s.shape[0]
+    nchunks = kp2 // group
     bp = _pad_to(max(b, 16), 16)
-    xp = jnp.zeros((bp, kp), jnp.bfloat16).at[:b, :k].set(x.astype(jnp.bfloat16))
+    nslot = _nslot(group, n, bp, nchunks)
+    natural = group % 128 == 0 and k % group == 0
+    if natural:
+        # x unpadded on K: padded weight planes are zero-quantized, so the
+        # kernel skips their dots (no (bp, Kp) pad copy per call)
+        nfull = k // group
+        xp = x.astype(jnp.bfloat16)
+        if bp != b:
+            xp = jnp.zeros((bp, k), jnp.bfloat16).at[:b].set(xp)
+    else:
+        nfull = kp // group
+        xp = jnp.zeros((bp, kp), jnp.bfloat16
+                       ).at[:b, :k].set(x.astype(jnp.bfloat16))
 
     out = pl.pallas_call(
-        functools.partial(_w4_kernel, nchunks=nchunks, nslot=nslot),
+        functools.partial(_w4_kernel, nchunks=nchunks, nslot=nslot,
+                          group=group, nfull=nfull),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -159,7 +206,7 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, n), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nslot, GROUP, n), jnp.int8),
+            pltpu.VMEM((nslot, group, n), jnp.int8),
             pltpu.SemaphoreType.DMA((nslot,)),
         ],
         interpret=interpret,

@@ -15,12 +15,15 @@ from controlar_tpu.ops.w4_matmul import (
 
 def test_pack_unpack_roundtrip():
     rng = np.random.default_rng(0)
-    for k, n in [(256, 128), (512, 256), (3200, 384)]:  # 3200 needs padding
+    # 3200: odd plane count (kernel epilogue path); 200: K not a group
+    # multiple (padded-x fallback path)
+    for k, n in [(256, 128), (512, 256), (3200, 384), (200, 128)]:
         w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32))
         qw = quantize_weight_w4(w)
-        kp = ((k + 2 * GROUP - 1) // (2 * GROUP)) * (2 * GROUP)
+        g = GROUP
+        kp = ((k + 2 * g - 1) // (2 * g)) * (2 * g)
         assert qw["q4"].shape == (kp // 2, n) and qw["q4"].dtype == jnp.int8
-        assert qw["s"].shape == (kp // GROUP, n)
+        assert qw["s"].shape == (kp // g, n)
         back = dequantize_weight_w4(qw, jnp.float32, k=k)
         assert back.shape == (k, n)
         # int4 group quantization: error bounded by s/2 per element
