@@ -43,7 +43,38 @@ from controlar_tpu.quant import (
     quantize_kv_rows_4,
 )
 from controlar_tpu.ops.norms import rms_norm
+from controlar_tpu.ops.rope import apply_rope_split, make_split_rope_tables
 from controlar_tpu.quant import wdot
+
+
+def _is_split(params: Params) -> bool:
+    """split-rope layout marker (quant.to_split_rope): wqkv cols / wo rows
+    permuted so RoPE is full-width elementwise — kills the (...,D/2,2)
+    relayout copies (~330 us/step at GPT-3B)."""
+    return "rope_split" in params
+
+
+def _split_tables(cfg: GPTConfig):
+    return make_split_rope_tables(
+        make_rope_table(cfg), cfg.n_head, cfg.kv_heads, cfg.head_dim)
+
+
+def _qkv_for(lp, cfg: GPTConfig, x: jnp.ndarray, rope, cos_sin):
+    """Project + rotate under either layout. Returns q (B,T,H,D),
+    k/v (B,T,KV,D) — identical shapes/semantics to models.gpt._qkv; only
+    the within-head lane order differs (split), which cancels in q.k and
+    in the permuted wo."""
+    if cos_sin is None:
+        return _qkv(lp, cfg, x, rope)
+    b, t, _ = x.shape
+    nh, nkv, hd = cfg.n_head, cfg.kv_heads, cfg.head_dim
+    cos, sin = cos_sin
+    qkv = wdot(x, lp["wqkv"])
+    qk = apply_rope_split(qkv[..., : (nh + nkv) * hd], cos, sin, hd)
+    q = qk[..., : nh * hd].reshape(b, t, nh, hd)
+    k = qk[..., nh * hd:].reshape(b, t, nkv, hd)
+    v = qkv[..., (nh + nkv) * hd:].reshape(b, t, nkv, hd)
+    return q, k, v
 
 # per-layer interleaved [k|v] slabs: rows are (2*H*D,) so one DMA chain
 # fetches both in the flash kernel
@@ -99,10 +130,10 @@ def cache_seq_len(caches: Caches) -> int:
     return c0.shape[1]
 
 
-def _quantize_rows_for(cache, kv_rows, kv_heads):
+def _quantize_rows_for(cache, kv_rows, kv_heads, split=False):
     """Quantize new rows to the cache's own format ({kv} int8 / {kv4})."""
     if "kv4" in cache:
-        q_rows, s_rows = quantize_kv_rows_4(kv_rows, kv_heads)
+        q_rows, s_rows = quantize_kv_rows_4(kv_rows, kv_heads, split=split)
     else:
         q_rows, s_rows = quantize_kv_rows(kv_rows, kv_heads)
     return q_rows, _pad_scales(s_rows, kv_heads)
@@ -112,18 +143,18 @@ def _cache_kv_key(cache) -> str:
     return "kv4" if "kv4" in cache else "kv"
 
 
-def _dequant_slab(cache, cfg, dtype):
+def _dequant_slab(cache, cfg, dtype, split=False):
     if "kv4" in cache:
         return dequantize_kv4_slab(cache["kv4"], cache["s"], cfg.kv_heads,
-                                   cfg.head_dim, dtype)
+                                   cfg.head_dim, dtype, split=split)
     return dequantize_kv_slab(cache["kv"], cache["s"], cfg.kv_heads, dtype)
 
 
-def _flash_quant_attn(q2d, cache, pos, col_bias, cfg):
+def _flash_quant_attn(q2d, cache, pos, col_bias, cfg, split=False):
     if "kv4" in cache:
         return flash_decode_attention2_q4(
             q2d, cache["kv4"], cache["s"], pos, col_bias,
-            n_head=cfg.n_head, head_dim=cfg.head_dim)
+            n_head=cfg.n_head, head_dim=cfg.head_dim, split=split)
     return flash_decode_attention2_q8(
         q2d, cache["kv"], cache["s"], pos, col_bias, n_head=cfg.n_head)
 
@@ -201,7 +232,12 @@ def prefill_flat(
     """Prefill the prefix; returns (last-position logits, caches)."""
     b, t, _ = prefix_emb.shape
     gate, fidx = _fusion_gates(cfg)
-    rope = make_rope_table(cfg)[:t]
+    split = _is_split(params)
+    if split:
+        rope, cos_sin = None, tuple(
+            tb[:t][None] for tb in _split_tables(cfg))
+    else:
+        rope, cos_sin = make_rope_table(cfg)[:t], None
     rows = np.arange(t)[:, None]
     cols = np.arange(t)[None, :]
     causal = jnp.asarray(rows >= cols)
@@ -220,13 +256,14 @@ def prefill_flat(
             add = (control_strength * fused3[fidx[l]][:, 0:1]).astype(h.dtype)
             h = jnp.concatenate([h[:, :-1], h[:, -1:] + add], axis=1)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(lp, cfg, x, rope)
+        q, k, v = _qkv_for(lp, cfg, x, rope, cos_sin)
         kv_rows = jnp.concatenate(
             [k.reshape(b, t, hd), v.reshape(b, t, hd)], axis=-1
         )
         if isinstance(kvs[l], dict):
             kk_ = _cache_kv_key(kvs[l])
-            q_rows, s_rows = _quantize_rows_for(kvs[l], kv_rows, cfg.kv_heads)
+            q_rows, s_rows = _quantize_rows_for(kvs[l], kv_rows, cfg.kv_heads,
+                                                split=split)
             kvs[l] = {
                 kk_: jax.lax.dynamic_update_slice(kvs[l][kk_], q_rows, (0, 0, 0)),
                 "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_rows, (0, 0, 0)),
@@ -268,7 +305,12 @@ def decode_step_multi(
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
     h = params["tok_embeddings"][token][:, None, :]
-    rope = make_rope_table(cfg)[pos][:, None]  # (B, 1, D/2, 2)
+    split = _is_split(params)
+    if split:
+        rope, cos_sin = None, tuple(
+            tb[pos][:, None] for tb in _split_tables(cfg))  # (B, 1, W2)
+    else:
+        rope, cos_sin = make_rope_table(cfg)[pos][:, None], None
     fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
 
     s_max = cache_seq_len(caches)
@@ -287,7 +329,8 @@ def decode_step_multi(
         # scatter that is catastrophically slow on TPU
         if isinstance(cache, dict):
             kk_ = _cache_kv_key(cache)
-            q_row, s_row = _quantize_rows_for(cache, row[:, 0], cfg.kv_heads)
+            q_row, s_row = _quantize_rows_for(cache, row[:, 0], cfg.kv_heads,
+                                              split=split)
             if use_flash:
                 return {kk_: cache_append_rows(cache[kk_], q_row, p),
                         "s": cache_append_rows(cache["s"], s_row, p)}
@@ -311,7 +354,7 @@ def decode_step_multi(
             )(fused3[fidx[l]], fuse_pos)
             h = h + (control_strength * row).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(lp, cfg, x, rope)
+        q, k, v = _qkv_for(lp, cfg, x, rope, cos_sin)
         kv_row = jnp.concatenate(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
         )
@@ -321,7 +364,7 @@ def decode_step_multi(
             kvs[l] = write_row(kvs[l], kv_row, pos)
             if isinstance(kvs[l], dict):
                 attn = _flash_quant_attn(
-                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg
+                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg, split=split
                 ).astype(h.dtype)[:, None, :]
             else:
                 attn = flash_decode_attention(
@@ -331,7 +374,7 @@ def decode_step_multi(
             if not isinstance(kvs[l], dict):
                 kv_row = kv_row.astype(kvs[l].dtype)
             kvs[l] = write_row(kvs[l], kv_row, pos)
-            slab = (_dequant_slab(kvs[l], cfg, h.dtype)
+            slab = (_dequant_slab(kvs[l], cfg, h.dtype, split=split)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
@@ -366,7 +409,15 @@ def decode_step_flat(
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
     h = params["tok_embeddings"][token][:, None, :]
-    rope = jax.lax.dynamic_slice_in_dim(make_rope_table(cfg), pos, 1, axis=0)
+    split = _is_split(params)
+    if split:
+        rope, cos_sin = None, tuple(
+            jax.lax.dynamic_slice_in_dim(tb, pos, 1, axis=0)
+            for tb in _split_tables(cfg))  # each (1, W2), broadcasts over B
+    else:
+        rope = jax.lax.dynamic_slice_in_dim(
+            make_rope_table(cfg), pos, 1, axis=0)
+        cos_sin = None
     fuse_pos = pos - cfg.cls_token_num + 1
 
     s_max = cache_seq_len(caches)
@@ -388,13 +439,14 @@ def decode_step_flat(
             row = jax.lax.dynamic_slice_in_dim(fused3[fidx[l]], fuse_pos, 1, axis=1)
             h = h + (control_strength * row).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
-        q, k, v = _qkv(lp, cfg, x, rope)  # (B, 1, H, D)
+        q, k, v = _qkv_for(lp, cfg, x, rope, cos_sin)  # (B, 1, H, D)
         kv_row = jnp.concatenate(
             [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
         )
         if isinstance(kvs[l], dict):
             kk_ = _cache_kv_key(kvs[l])
-            q_row, s_row = _quantize_rows_for(kvs[l], kv_row, cfg.kv_heads)
+            q_row, s_row = _quantize_rows_for(kvs[l], kv_row, cfg.kv_heads,
+                                              split=split)
             kvs[l] = {
                 kk_: jax.lax.dynamic_update_slice(kvs[l][kk_], q_row, (0, pos, 0)),
                 "s": jax.lax.dynamic_update_slice(kvs[l]["s"], s_row, (0, pos, 0)),
@@ -406,14 +458,14 @@ def decode_step_flat(
         if use_flash:
             if isinstance(kvs[l], dict):
                 attn = _flash_quant_attn(
-                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg
+                    q.reshape(b, hd), kvs[l], pos, col_bias, cfg, split=split
                 ).astype(h.dtype)[:, None, :]
             else:
                 attn = flash_decode_attention(
                     q.reshape(b, hd), kvs[l], pos, col_bias, n_head=cfg.n_head
                 ).astype(h.dtype)[:, None, :]
         else:
-            slab = (_dequant_slab(kvs[l], cfg, h.dtype)
+            slab = (_dequant_slab(kvs[l], cfg, h.dtype, split=split)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)

@@ -702,7 +702,8 @@ def _kernel_q4(pos_ref, qe_ref, qo_ref, kv_hbm, sc_hbm, bias_ref, o_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_head", "head_dim", "block", "interpret"))
+                   static_argnames=("n_head", "head_dim", "block", "interpret",
+                                    "split"))
 def flash_decode_attention2_q4(
     q: jnp.ndarray,         # (B, H*D)
     kv_cache: jnp.ndarray,  # (B, S, 2*W) int4 carriers (quantize_kv_rows_4)
@@ -714,6 +715,7 @@ def flash_decode_attention2_q4(
     head_dim: int,
     block: int = DEFAULT_BLOCK,
     interpret: bool = False,
+    split: bool = False,  # q + output in split-rope layout (no interleave)
 ) -> jnp.ndarray:
     b, s, w2 = kv_cache.shape
     w = w2 // 2
@@ -729,8 +731,12 @@ def flash_decode_attention2_q4(
         col_bias = jnp.zeros((b, 8), jnp.float32)
 
     qhd = q.reshape(b, n_head, d)
-    qe = qhd[..., 0::2].reshape(b, half)
-    qo = qhd[..., 1::2].reshape(b, half)
+    if split:
+        qe = qhd[..., : d // 2].reshape(b, half)
+        qo = qhd[..., d // 2:].reshape(b, half)
+    else:
+        qe = qhd[..., 0::2].reshape(b, half)
+        qo = qhd[..., 1::2].reshape(b, half)
     if w > half:
         qe = jnp.pad(qe, ((0, 0), (0, w - half)))
         qo = jnp.pad(qo, ((0, 0), (0, w - half)))
@@ -769,7 +775,10 @@ def flash_decode_attention2_q4(
         kv_scale,
         col_bias.astype(jnp.float32),
     )
-    # reassemble interleaved dims: halves -> (B, H, D/2, 2) -> (B, hd)
     o_even = out[:, :w][:, :half].reshape(b, n_head, d // 2)
     o_odd = out[:, w:][:, :half].reshape(b, n_head, d // 2)
+    if split:
+        # split layout: halves stay contiguous per head
+        return jnp.concatenate([o_even, o_odd], axis=-1).reshape(b, hd)
+    # reassemble interleaved dims: halves -> (B, H, D/2, 2) -> (B, hd)
     return jnp.stack([o_even, o_odd], axis=-1).reshape(b, hd)

@@ -79,6 +79,49 @@ def precompute_rope_2d_rect(
     return np.concatenate([prefix, table.astype(np.float32)], axis=0)
 
 
+def make_split_rope_tables(table: jnp.ndarray, n_head: int, kv_heads: int,
+                           head_dim: int):
+    """Full-width COS/SIN tables for split-layout (NeoX-style) RoPE over a
+    fused [q|k] lane block.
+
+    Split layout stores each head's dims as [evens | odds] within its D-lane
+    block (see quant.split_head_perm): pair j lives at lanes (j, D/2+j), so
+    rotation is full-width elementwise math with a half-roll — no (...,D/2,2)
+    pair reshape, whose TPU relayout copies cost ~330 us/step at GPT-3B.
+
+    table: (T, D/2, 2) from make_rope_table. Returns (cos, sin) each
+    (T, (n_head + kv_heads) * D): per head block [c | c] and [-s | s],
+    tiled across the q heads then the k heads.
+    """
+    c = table[..., 0]  # (T, D/2)
+    s = table[..., 1]
+    per_head_c = jnp.concatenate([c, c], axis=-1)  # (T, D)
+    per_head_s = jnp.concatenate([-s, s], axis=-1)
+    n = n_head + kv_heads
+    cos = jnp.tile(per_head_c, (1, n))
+    sin = jnp.tile(per_head_s, (1, n))
+    return cos, sin
+
+
+def apply_rope_split(qk: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray,
+                     head_dim: int) -> jnp.ndarray:
+    """Rotate a fused [q|k] block stored in split layout.
+
+    qk: (..., (H+KV)*D) with each head's lanes as [evens | odds].
+    cos/sin: broadcastable (..., (H+KV)*D) rows from make_split_rope_tables.
+    out = qk*cos + swap(qk)*sin where swap exchanges the half-blocks within
+    every head (rolls never cross head boundaries because the select picks
+    the in-head direction). fp32 math, cast back (ref gpt_t2i.py:522-532).
+    """
+    half = head_dim // 2
+    lanes = jnp.arange(qk.shape[-1]) % head_dim
+    swapped = jnp.where(lanes < half,
+                        jnp.roll(qk, -half, axis=-1),
+                        jnp.roll(qk, half, axis=-1))
+    out = qk.astype(jnp.float32) * cos + swapped.astype(jnp.float32) * sin
+    return out.astype(qk.dtype)
+
+
 def apply_rope(x: jnp.ndarray, rope: jnp.ndarray) -> jnp.ndarray:
     """Rotate q or k. x: (B, T, H, D); rope: (T, D//2, 2) fp32, or
     (B, T, D//2, 2) for per-sequence positions (continuous-batching decode).

@@ -87,6 +87,62 @@ def wdot(x: jnp.ndarray, w: Union[jnp.ndarray, Dict[str, jnp.ndarray]]) -> jnp.n
     return x @ w
 
 
+def split_head_perm(n_head: int, kv_heads: int, head_dim: int):
+    """Column permutation taking interleaved head dims to split layout.
+
+    Within every head's D-lane block the dims reorder to
+    [0,2,..,D-2, 1,3,..,D-1] (NeoX-style [evens | odds]). Returns
+    (qkv_perm over (H+2KV)*D columns, q_perm over H*D rows for wo).
+    The permutation cancels in q.k (same perm on both sides) and is undone
+    for free by permuting wo's input rows — so decode math is unchanged
+    while RoPE becomes full-width elementwise (ops/rope.apply_rope_split)
+    and the int4 nibble pack becomes contiguous halves.
+    """
+    import numpy as np
+
+    d = head_dim
+    in_head = np.concatenate([np.arange(0, d, 2), np.arange(1, d, 2)])
+    n = n_head + 2 * kv_heads
+    qkv_perm = (np.arange(n)[:, None] * d + in_head[None, :]).reshape(-1)
+    q_perm = qkv_perm[: n_head * d]
+    return qkv_perm, q_perm
+
+
+def to_split_rope(params: Params, cfg) -> Params:
+    """Permute an UNSTACKED float/W8 param tree into split-rope layout and
+    mark it (params["rope_split"]). Decode paths branch on the marker.
+
+    wqkv output columns and wo input rows get split_head_perm; everything
+    else is untouched. Must run before W4 packing (the perm is along wo's
+    K axis, which the group quantization bakes in)."""
+    if "rope_split" in params:
+        return params
+    if not isinstance(params["layers"], (list, tuple)):
+        raise ValueError("to_split_rope needs the unstacked layout "
+                         "(call decode.unstack_layers first)")
+    qkv_perm, q_perm = split_head_perm(cfg.n_head, cfg.kv_heads, cfg.head_dim)
+    layers = []
+    for lp in params["layers"]:
+        lp = dict(lp)
+        for k, axis, perm in (("wqkv", -1, qkv_perm), ("wo", -2, q_perm)):
+            w = lp[k]
+            if is_quantized(w):
+                if axis == -1:  # s is (..., 1, out): permute with the cols
+                    lp[k] = {"q": jnp.take(w["q"], perm, axis=-1),
+                             "s": jnp.take(w["s"], perm, axis=-1)}
+                else:
+                    lp[k] = {"q": jnp.take(w["q"], perm, axis=-2), "s": w["s"]}
+            elif is_quantized_w4(w):
+                raise ValueError("to_split_rope must run before W4 packing")
+            else:
+                lp[k] = jnp.take(w, perm, axis=axis)
+        layers.append(lp)
+    out = dict(params)
+    out["layers"] = tuple(layers)
+    out["rope_split"] = jnp.zeros((), jnp.int8)  # marker leaf
+    return out
+
+
 def quantize_gpt_params(
     params: Params, keep: Sequence[str] = ()
 ) -> Params:
@@ -113,7 +169,7 @@ def quantize_gpt_params(
 
 
 def quantize_gpt_params_w4(
-    params: Params, keep: Sequence[str] = ()
+    params: Params, keep: Sequence[str] = (), cfg=None
 ) -> Params:
     """W4 (int4 group-128, ops/w4_matmul.py) variant of quantize_gpt_params.
 
@@ -121,16 +177,37 @@ def quantize_gpt_params_w4(
     nibble packing pads K per weight, which the stacked (L, ...) tree can't
     carry uniformly. The output head goes to int8 (W8A16), not W4, for logit
     fidelity — it is <2% of streamed bytes at GPT-3B.
+
+    When cfg is given, the tree is first permuted to split-rope layout
+    (to_split_rope) — the high-throughput serving configuration.
     """
     from controlar_tpu.ops.w4_matmul import quantize_weight_w4
 
     if not isinstance(params["layers"], (list, tuple)):
         raise ValueError("quantize_gpt_params_w4 needs the unstacked layout "
                          "(call decode.unstack_layers first)")
+    perms = None
+    if cfg is not None and "rope_split" not in params:
+        # split-rope permutation applied PER LAYER inside the loop: a full
+        # to_split_rope() copy of the tree alongside the source and the W4
+        # output exceeds 16 GB HBM at GPT-3B
+        perms = split_head_perm(cfg.n_head, cfg.kv_heads, cfg.head_dim)
     out = dict(params)
     layers = []
     for lp in params["layers"]:
         lp = dict(lp)
+        if perms is not None:
+            qkv_perm, q_perm = perms
+            for k, axis, perm in (("wqkv", -1, qkv_perm), ("wo", -2, q_perm)):
+                w = lp[k]
+                if is_quantized(w):
+                    lp[k] = ({"q": jnp.take(w["q"], perm, axis=-1),
+                              "s": jnp.take(w["s"], perm, axis=-1)}
+                             if axis == -1 else
+                             {"q": jnp.take(w["q"], perm, axis=-2),
+                              "s": w["s"]})
+                else:
+                    lp[k] = jnp.take(w, perm, axis=axis)
         # fuse w1|w3 into one streamed weight (one kernel call per FFN up)
         if ("w1" in lp and "w3" in lp and "w1" not in keep
                 and "w3" not in keep):
@@ -148,6 +225,8 @@ def quantize_gpt_params_w4(
     for k in TOP_QUANT_KEYS:
         if k in out and k not in keep and not is_quantized(out[k]):
             out[k] = quantize_weight(out[k])
+    if perms is not None:
+        out["rope_split"] = jnp.zeros((), jnp.int8)
     return out
 
 
@@ -198,11 +277,15 @@ def kv4_row_width(n_head: int, head_dim: int) -> int:
     return ((half + 127) // 128) * 128
 
 
-def quantize_kv_rows_4(kv_rows: jnp.ndarray, n_head: int):
-    """Interleaved [k|v] rows (..., 2*H*D) -> int4 carriers + scales.
+def quantize_kv_rows_4(kv_rows: jnp.ndarray, n_head: int,
+                       split: bool = False):
+    """[k|v] rows (..., 2*H*D) -> int4 carriers + scales.
 
-    Per-head symmetric int4 (q in [-7, 7], s = amax/7). Packing: adjacent
-    dim pairs share a byte — carrier j of head h = d_{2j} | d_{2j+1} << 4.
+    Per-head symmetric int4 (q in [-7, 7], s = amax/7). Packing: carrier j
+    of head h holds the pair (even_j, odd_j) as low|high nibbles. With
+    split=False rows are interleaved (pair = dims 2j, 2j+1, strided
+    extracts); with split=True rows are in split-rope layout (pair = dims
+    j, D/2+j — contiguous half slices, the serving fast path).
     Returns (carriers (..., 2*W) int8 with W = kv4_row_width, scales
     (..., 2*H) f32 in [k_scales | v_scales] order).
     """
@@ -214,8 +297,12 @@ def quantize_kv_rows_4(kv_rows: jnp.ndarray, n_head: int):
     amax = jnp.max(jnp.abs(kv), axis=-1)
     s = jnp.maximum(amax / 7.0, 1e-8)
     q = jnp.clip(jnp.round(kv / s[..., None]), -7, 7).astype(jnp.int32)
-    even = q[..., 0::2]  # (..., h2, d/2)
-    odd = q[..., 1::2]
+    if split:
+        even = q[..., : d // 2]
+        odd = q[..., d // 2:]
+    else:
+        even = q[..., 0::2]  # (..., h2, d/2)
+        odd = q[..., 1::2]
     carrier = ((even & 0xF) | (odd << 4)).astype(jnp.int8)
     carrier = carrier.reshape(*lead, 2, n_head * (d // 2))
     pad = w - n_head * (d // 2)
@@ -225,8 +312,12 @@ def quantize_kv_rows_4(kv_rows: jnp.ndarray, n_head: int):
 
 
 def dequantize_kv4_slab(kv_c: jnp.ndarray, s: jnp.ndarray, n_head: int,
-                        head_dim: int, dtype=jnp.float32) -> jnp.ndarray:
-    """(B,S,2*W) carriers + (B,S,>=2H) scales -> (B,S,2*H*D) dtype."""
+                        head_dim: int, dtype=jnp.float32,
+                        split: bool = False) -> jnp.ndarray:
+    """(B,S,2*W) carriers + (B,S,>=2H) scales -> (B,S,2*H*D) dtype.
+
+    split=True returns rows in split-rope layout (matching
+    quantize_kv_rows_4(split=True))."""
     b, t, w2 = kv_c.shape
     w = w2 // 2
     d = head_dim
@@ -234,7 +325,12 @@ def dequantize_kv4_slab(kv_c: jnp.ndarray, s: jnp.ndarray, n_head: int,
     c = kv_c.reshape(b, t, 2, w)[..., :half].astype(jnp.int32)
     lo = (c << 28) >> 28
     hi = c >> 4
-    q = jnp.stack([lo, hi], axis=-1).reshape(b, t, 2, n_head, d)
+    if split:
+        q = jnp.concatenate(
+            [lo.reshape(b, t, 2, n_head, d // 2),
+             hi.reshape(b, t, 2, n_head, d // 2)], axis=-1)
+    else:
+        q = jnp.stack([lo, hi], axis=-1).reshape(b, t, 2, n_head, d)
     sv = s[..., : 2 * n_head].reshape(b, t, 2, n_head)
     kv = q.astype(jnp.float32) * sv[..., None]
     return kv.reshape(b, t, 2 * n_head * d).astype(dtype)

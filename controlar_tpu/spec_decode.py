@@ -87,8 +87,13 @@ def forward_chunk(
         h = emb
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
-    table = make_rope_table(cfg)
-    rope = table[pos[:, None] + jnp.arange(k)[None]]  # (B, K, D/2, 2)
+    split = dec._is_split(params)
+    chunk_pos = pos[:, None] + jnp.arange(k)[None]  # (B, K)
+    if split:
+        rope, cos_sin = None, tuple(
+            tb[chunk_pos] for tb in dec._split_tables(cfg))  # (B, K, W2)
+    else:
+        rope, cos_sin = make_rope_table(cfg)[chunk_pos], None
     fuse_pos = pos - cfg.cls_token_num + 1
 
     s_max = dec.cache_seq_len(caches)
@@ -109,7 +114,7 @@ def forward_chunk(
                     "kv4 flash chunk attention not implemented; use the int8 "
                     "cache for speculative/chunked paths or use_flash=False")
             q_rows, s_rows = dec._quantize_rows_for(cache, kv_rows,
-                                                    cfg.kv_heads)
+                                                    cfg.kv_heads, split=split)
             if use_flash:
                 return {kk_: cache_append_block(cache[kk_], q_rows, pos),
                         "s": cache_append_block(cache["s"], s_rows, pos)}
@@ -142,7 +147,7 @@ def forward_chunk(
                 )(fused3[fidx[l]], fuse_pos)
                 h = h + (control_strength * rows).astype(h.dtype)
         x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
-        q, kk, v = _qkv(lp, cfg, x, rope)  # (B, K, H, D)
+        q, kk, v = dec._qkv_for(lp, cfg, x, rope, cos_sin)  # (B, K, H, D)
         kv_rows = jnp.concatenate(
             [kk.reshape(b, k, hd), v.reshape(b, k, hd)], axis=-1
         )
@@ -166,7 +171,7 @@ def forward_chunk(
                     n_head=cfg.n_head,
                 ).astype(h.dtype)
         else:
-            slab = (dec._dequant_slab(kvs[l], cfg, h.dtype)
+            slab = (dec._dequant_slab(kvs[l], cfg, h.dtype, split=split)
                     if isinstance(kvs[l], dict) else kvs[l])
             kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
             vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)

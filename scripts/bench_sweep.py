@@ -138,7 +138,8 @@ def main():
             dec._UNSTACK_CACHE.clear()
         if size in W4_SIZES:
             # W4A16 weights (int4 group-128 Pallas kernel) + int8 KV cache
-            w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params))
+            w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params),
+                                               cfg=cfg)
             dec._UNSTACK_CACHE.clear()
             best4 = timed(w4p, cache_dtype=jnp.int4)
             del w4p

@@ -50,7 +50,7 @@ def main():
                      block_size=576, vocab_size=16384, num_classes=1000)
     params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg,
                                   dtype=jnp.bfloat16)
-    w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params))
+    w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params), cfg=cfg)
     dec._UNSTACK_CACHE.clear()
     del params
     nbytes = sum(x.nbytes for x in jax.tree.leaves(w4p))
