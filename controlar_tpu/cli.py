@@ -54,7 +54,8 @@ def _add_model_args(p: argparse.ArgumentParser):
                    help="int8 weight streaming (+ int8 KV cache where applicable)")
     p.add_argument("--spec-draft", default=None, choices=["int8", "w4"],
                    help="speculative decode with a quantized self-draft "
-                        "(greedy; output identical to non-speculative greedy)")
+                        "(Leviathan accept/reject; samples from the same "
+                        "warped target distribution as vanilla decoding)")
 
 
 def _build_pipeline(args, model_type: str):

@@ -127,8 +127,9 @@ class ControlARPipeline:
         """Returns generated images as uint8 (B, H, W, 3). cache_dtype
         jnp.int8/int4 selects the quantized KV cache (pairs with the
         quantized weight modes on gpt_params). spec_draft ("int8" | "w4")
-        decodes speculatively with a quantized self-draft — greedy only,
-        output identical to greedy decoding without speculation."""
+        decodes speculatively with a quantized self-draft: Leviathan
+        accept/reject preserves the same warped (temperature/top-k/top-p)
+        target distribution the non-speculative sampler draws from."""
         adapter_feats = None
         if condition_images is not None:
             cond = self.extract_condition(
@@ -161,7 +162,9 @@ class ControlARPipeline:
             else:
                 raise ValueError(spec_draft)
             tokens = _spec.generate_spec(
-                self.gpt_params, self.gpt_cfg, draft, **extra, **common)
+                self.gpt_params, self.gpt_cfg, draft, **extra, **common,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                rng=jax.random.PRNGKey(seed))
         else:
             tokens = jgen.generate(
                 self.gpt_params,

@@ -191,6 +191,50 @@ def forward_chunk(
     return logits, tuple(kvs)
 
 
+def speculative_accept(drafts, qprobs, pprobs, key):
+    """Leviathan et al. accept/reject for one verify cycle (vectorized).
+
+    drafts: (B, K-1) tokens sampled from the draft dists qprobs (B, K-1, V);
+    pprobs: (B, K, V) target dists at the same positions. Returns
+    (m (B,) accepted-draft counts, tokens_row (B, K) where positions < m are
+    the accepted drafts and position m is the bonus/residual token, cur (B,)
+    = tokens_row[:, m]).
+
+    Draft j is accepted with prob min(1, p_j(d_j)/q_j(d_j)); at the first
+    rejection the replacement is sampled from norm(max(p_m - q_m, 0)), and
+    when every draft survives the bonus token comes from p_{K-1} (q treated
+    as 0 there, which folds both cases into one residual formula). This
+    preserves the target distribution exactly (Leviathan et al. 2023, thm 1;
+    the reference has no speculative path at all).
+    """
+    b, km1 = drafts.shape
+    k = km1 + 1
+    ku, kr = jax.random.split(key)
+    pd = jnp.take_along_axis(pprobs[:, :km1], drafts[..., None], axis=-1)[..., 0]
+    qd = jnp.take_along_axis(qprobs, drafts[..., None], axis=-1)[..., 0]
+    u = jax.random.uniform(ku, (b, km1))
+    accept = u * qd <= pd  # u < min(1, p/q) without the divide
+    prefix_ok = jnp.cumprod(accept.astype(jnp.int32), axis=1)
+    m = prefix_ok.sum(axis=1)  # (B,) in [0, K-1]
+
+    p_m = jnp.take_along_axis(pprobs, m[:, None, None], axis=1)[:, 0]  # (B,V)
+    q_all = jnp.concatenate(
+        [qprobs, jnp.zeros((b, 1, qprobs.shape[-1]), qprobs.dtype)], axis=1)
+    q_m = jnp.take_along_axis(q_all, m[:, None, None], axis=1)[:, 0]
+    res = jnp.maximum(p_m - q_m, 0.0)
+    rsum = res.sum(axis=-1, keepdims=True)
+    # numerically-empty residual (p ~= q): fall back to p itself
+    dist = jnp.where(rsum > 1e-9, res / jnp.maximum(rsum, 1e-30), p_m)
+    e_m = jax.random.categorical(kr, jnp.log(jnp.maximum(dist, 1e-30)),
+                                 axis=-1).astype(jnp.int32)
+
+    cols = jnp.arange(k)[None, :]
+    tokens_row = jnp.concatenate(
+        [drafts, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    tokens_row = jnp.where(cols == m[:, None], e_m[:, None], tokens_row)
+    return m, tokens_row, e_m
+
+
 def _mix_rowwise(logits, n_row, cfg_scale, cfg_interval, offset):
     """CFG mix with the reference's interval semantics, per-row step index.
 
@@ -220,7 +264,7 @@ def _mix_rowwise(logits, n_row, cfg_scale, cfg_interval, offset):
     static_argnames=(
         "cfg", "draft_cfg", "max_new_tokens", "k_draft", "cfg_scale",
         "cfg_interval", "cache_dtype", "draft_cache_dtype", "use_flash",
-        "collect_stats",
+        "collect_stats", "temperature", "top_k", "top_p",
     ),
 )
 def generate_tokens_spec(
@@ -234,6 +278,7 @@ def generate_tokens_spec(
     draft_fused3: Optional[jnp.ndarray],
     col_mask: Optional[jnp.ndarray],
     control_strength: jnp.ndarray | float = 1.0,
+    rng: Optional[jnp.ndarray] = None,
     *,
     max_new_tokens: int,
     k_draft: int = 4,
@@ -243,13 +288,26 @@ def generate_tokens_spec(
     draft_cache_dtype=jnp.bfloat16,
     use_flash: bool = False,
     collect_stats: bool = False,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ):
-    """Greedy speculative decode. Returns (tokens (B, N), accepted_frac).
+    """Speculative decode. Returns (tokens (B, N), accepted_frac).
 
-    The emitted tokens are EXACTLY the vanilla greedy sequence of the target
-    model (for any draft). accepted_frac = mean accepted-per-cycle /
-    k_draft over all cycles (the speculative efficiency).
-    """
+    rng=None: greedy — the emitted tokens are EXACTLY the vanilla greedy
+    sequence of the target model (for any draft). rng given: speculative
+    SAMPLING (Leviathan et al. 2023) — drafts are sampled from the draft's
+    warped distribution and accept/reject preserves the target's warped
+    distribution exactly (speculative_accept); temperature/top-k/top-p warp
+    both sides identically (generate.py sampling semantics).
+    accepted_frac = mean accepted-per-cycle / k_draft over all cycles."""
+    from controlar_tpu.ops.sampling import top_k_top_p_filter
+
+    sample = rng is not None
+
+    def warp(lg):
+        return top_k_top_p_filter(lg / max(temperature, 1e-5), top_k, top_p)
+
     bc, t_cls, _ = prefix_emb.shape
     use_cfg = cfg_scale > 1.0
     b = bc // 2 if use_cfg else bc
@@ -276,7 +334,12 @@ def generate_tokens_spec(
             return uncond + (cond - uncond) * cfg_scale
         return logits
 
-    tok0 = jnp.argmax(mix0(logits_t0), axis=-1).astype(jnp.int32)  # (B,)
+    if sample:
+        rng, k0 = jax.random.split(rng)
+        tok0 = jax.random.categorical(
+            k0, warp(mix0(logits_t0)), axis=-1).astype(jnp.int32)
+    else:
+        tok0 = jnp.argmax(mix0(logits_t0), axis=-1).astype(jnp.int32)  # (B,)
 
     if col_mask is not None:
         col_mask_full = jnp.concatenate(
@@ -293,9 +356,15 @@ def generate_tokens_spec(
     # n = finalized tokens per logical row; cur = last finalized (unfed)
     state0 = (caches_t, caches_d, tok0, jnp.ones((b,), jnp.int32), out0,
               jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+    if sample:
+        state0 = state0 + (rng,)
 
     def cycle(state):
-        caches_t, caches_d, cur, n, out, acc_sum, cyc_sum = state
+        if sample:
+            caches_t, caches_d, cur, n, out, acc_sum, cyc_sum, key = state
+            key, kd, kv = jax.random.split(key, 3)
+        else:
+            caches_t, caches_d, cur, n, out, acc_sum, cyc_sum = state
         pos0 = t_cls + n - 1  # (B,) base position of the chunk
         pos0_r = rep(pos0)
 
@@ -308,13 +377,22 @@ def generate_tokens_spec(
                 col_mask_full=col_mask_full,
             )
             mixed = _mix_rowwise(logits, n + j, cfg_scale, cfg_interval, 0)
+            if sample:
+                warped = warp(mixed)
+                nxt = jax.random.categorical(
+                    jax.random.fold_in(kd, j), warped, axis=-1
+                ).astype(jnp.int32)
+                return (caches_d, nxt), (nxt, jax.nn.softmax(warped, axis=-1))
             nxt = jnp.argmax(mixed, axis=-1).astype(jnp.int32)
             return (caches_d, nxt), nxt
 
-        (caches_d, _), drafts = jax.lax.scan(
+        (caches_d, _), ys = jax.lax.scan(
             draft_step, (caches_d, cur), jnp.arange(k)
         )
-        drafts = drafts.T  # (B, k): drafts[:, j] = d_{j+1}
+        if sample:
+            drafts, qprobs = ys[0].T, ys[1]  # (B, k), (k, B, V)
+        else:
+            drafts = ys.T  # (B, k): drafts[:, j] = d_{j+1}
 
         # ---- verify: one target forward over [cur, d_1 .. d_{k-1}]
         chunk = jnp.concatenate([cur[:, None], drafts[:, : k - 1]], axis=1)
@@ -323,25 +401,33 @@ def generate_tokens_spec(
             col_mask_full, control_strength, use_flash=use_flash,
         )
         mixed = _mix_rowwise(logits, n, cfg_scale, cfg_interval, 0)
-        g = jnp.argmax(mixed, axis=-1).astype(jnp.int32)  # (B, k)
 
-        # ---- accept leading matches: m = #{j >= 1 : d_j == g_{j-1} prefix}
-        matches = drafts[:, : k - 1] == g[:, : k - 1]  # (B, k-1)
-        prefix_ok = jnp.cumprod(matches.astype(jnp.int32), axis=1)
-        m = prefix_ok.sum(axis=1)  # (B,) in [0, k-1]
+        if sample:
+            # ---- Leviathan accept/reject against the draft dists
+            pprobs = jax.nn.softmax(warp(mixed), axis=-1)  # (B, k, V)
+            m, g, cur2 = speculative_accept(
+                drafts[:, : k - 1], qprobs[: k - 1].transpose(1, 0, 2),
+                pprobs, kv)
+        else:
+            g = jnp.argmax(mixed, axis=-1).astype(jnp.int32)  # (B, k)
+            # ---- accept leading matches: m = #{j>=1 : d_j == g_{j-1} pref}
+            matches = drafts[:, : k - 1] == g[:, : k - 1]  # (B, k-1)
+            prefix_ok = jnp.cumprod(matches.astype(jnp.int32), axis=1)
+            m = prefix_ok.sum(axis=1)  # (B,) in [0, k-1]
+            cur2 = jnp.take_along_axis(g, m[:, None], axis=1)[:, 0]
 
         done = n >= n_new
         w_off = jnp.where(done, n_new, n)
         out = jax.vmap(
             lambda o, gg, off: jax.lax.dynamic_update_slice(o, gg, (off,))
         )(out, g, w_off)
-        cur2 = jnp.take_along_axis(g, m[:, None], axis=1)[:, 0]
         cur = jnp.where(done, cur, cur2)
         n = jnp.where(done, n, n + m + 1)
         live = (~done).astype(jnp.float32)
         acc_sum = acc_sum + ((m + 1) * live).sum()
         cyc_sum = cyc_sum + live.sum()
-        return (caches_t, caches_d, cur, n, out, acc_sum, cyc_sum)
+        new_state = (caches_t, caches_d, cur, n, out, acc_sum, cyc_sum)
+        return new_state + ((key,) if sample else ())
 
     def cond_fn(state):
         return jnp.any(state[3] < n_new)
@@ -371,11 +457,17 @@ def generate_spec(
     draft_cache_dtype=None,
     use_flash: Optional[bool] = None,
     return_stats: bool = False,
+    rng: Optional[jnp.ndarray] = None,
+    temperature: float = 1.0,
+    top_k: int = 0,
+    top_p: float = 1.0,
 ):
-    """High-level speculative greedy generate (mirrors generate.generate).
+    """High-level speculative generate (mirrors generate.generate).
 
     draft_params may be a quantized copy of `params` (self-speculation) or a
-    smaller family member's params (pass its cfg as draft_cfg).
+    smaller family member's params (pass its cfg as draft_cfg). rng=None is
+    greedy (provably target-exact); rng given enables distribution-
+    preserving speculative sampling with temperature/top-k/top-p.
     """
     draft_cfg = draft_cfg or cfg
     if draft_cache_dtype is None:
@@ -430,10 +522,11 @@ def generate_spec(
     tokens, acc = generate_tokens_spec(
         params, draft_params, cfg, draft_cfg, prefix, draft_prefix,
         fused3, draft_fused3, col_mask,
-        jnp.asarray(control_strength, jnp.float32),
+        jnp.asarray(control_strength, jnp.float32), rng,
         max_new_tokens=max_new_tokens, k_draft=k_draft, cfg_scale=cfg_scale,
         cfg_interval=cfg_interval, cache_dtype=cache_dtype,
         draft_cache_dtype=draft_cache_dtype, use_flash=use_flash,
+        temperature=temperature, top_k=top_k, top_p=top_p,
     )
     if return_stats:
         return tokens, {"accepted_per_cycle": acc, "k_draft": k_draft}

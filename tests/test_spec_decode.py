@@ -299,11 +299,19 @@ def test_pipeline_spec_draft_matches_greedy():
         vq_cfg=vq_cfg, vq_params=jvq.init_vq_params(rng, vq_cfg),
         adapter_cfg=ad_cfg, adapter_params=jvit.init_vit_params(rng, ad_cfg),
     )
-    kw = dict(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=0,
+    # top_k=1 collapses the warped distribution to a point mass: the vanilla
+    # sampler AND both spec paths (any draft — rejected drafts resample from
+    # the residual, which is that same point mass) must all emit the exact
+    # bf16 greedy sequence
+    kw = dict(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=1,
               temperature=1.0)
-    ref = pipe.generate(**kw, spec_draft=None)  # sampled; need greedy ref:
-    # greedy reference via top_k=1-ish: use the spec path twice instead
+    ref = pipe.generate(**kw, spec_draft=None)
     a = pipe.generate(**kw, spec_draft="int8")
     b = pipe.generate(**kw, spec_draft="w4")
-    np.testing.assert_array_equal(a, b)  # both exactly bf16 greedy
-    assert a.shape == ref.shape
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(a, ref)
+    # sampling really samples: top_k=0 across different drafts with the same
+    # seed may legitimately differ — just exercise the path
+    s = pipe.generate(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=0,
+                      spec_draft="int8")
+    assert s.shape == ref.shape
