@@ -103,8 +103,9 @@ def _nslot(group: int, n: int, bp: int, nchunks: int) -> int:
     return max(2, min(6, budget // (group * n)))
 
 
-def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
-               *, nchunks: int, nslot: int, group: int, nfull: int):
+def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem, sem0,
+               *, nchunks: int, nslot: int, group: int, nfull: int,
+               bounds: tuple):
     """Single-program manual-DMA kernel: NSLOT-deep double buffering of
     GROUP-row carrier chunks (full N width, contiguous HBM reads), unpack
     (VPU) + two group dots (MXU) per chunk under the DMA shadow.
@@ -126,8 +127,43 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
             q_hbm.at[pl.ds(i * group, group), :], buf.at[slot],
             sem.at[slot])
 
-    for w in range(min(nslot - 1, nchunks)):
-        get(w, w).start()
+    nbody = nfull // 2
+    npieces = len(bounds) - 1
+    split0 = nbody >= 1 and npieces > 1
+
+    def get_piece(j):
+        c0, c1 = bounds[j], bounds[j + 1]
+        return pltpu.make_async_copy(
+            q_hbm.at[pl.ds(0, group), pl.ds(c0, c1 - c0)],
+            buf.at[0, :, pl.ds(c0, c1 - c0)], sem0.at[j])
+
+    if split0:
+        # chunk 0 split along N into 128-aligned pieces with their own
+        # semaphores: the first dot starts after 1/npieces of the fill
+        # instead of the whole chunk (the only exposed DMA latency in the
+        # pipeline — ~3.4 us for the 2.2 MB w13 chunk at GPT-3B); chunks
+        # 1..nslot-1 prefetch behind the pieces
+        for j in range(npieces):
+            get_piece(j).start()
+        for w in range(1, min(nslot, nchunks)):
+            get(w, w).start()
+    else:
+        for w in range(min(nslot - 1, nchunks)):
+            get(w, w).start()
+
+    def chunk_dots(p, carrier, cols=None):
+        c = carrier.astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        hi = (c >> 4).astype(jnp.bfloat16)
+        csl = slice(None) if cols is None else pl.ds(*cols)
+        sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
+        sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
+        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, .)
+        xl = x_ref[:, pl.ds(2 * p * group, group)]
+        xh = x_ref[:, pl.ds((2 * p + 1) * group, group)]
+        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+        return dl * sl + dh * sh
 
     def body(p, acc):
         slot = p % nslot
@@ -137,21 +173,22 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem,
             get((p + nslot - 1) % nslot, p + nslot - 1).start()
 
         get(slot, p).wait()
-        c = buf[slot][:].astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        hi = (c >> 4).astype(jnp.bfloat16)
-        sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
-        sh = s_ref[pl.ds(2 * p + 1, 1), :].astype(jnp.float32)
-        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, .)
-        xl = x_ref[:, pl.ds(2 * p * group, group)]
-        xh = x_ref[:, pl.ds((2 * p + 1) * group, group)]
-        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
-        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
-        return acc + dl * sl + dh * sh
+        return acc + chunk_dots(p, buf[slot][:])
 
-    nbody = nfull // 2
-    acc = jax.lax.fori_loop(
-        0, nbody, body, jnp.zeros(o_ref.shape, jnp.float32))
+    if split0:
+        parts = []
+        for j in range(npieces):
+            get_piece(j).wait()
+            c0, c1 = bounds[j], bounds[j + 1]
+            parts.append(chunk_dots(0, buf[0, :, pl.ds(c0, c1 - c0)],
+                                    cols=(c0, c1 - c0)))
+        acc0 = jnp.concatenate(parts, axis=-1)
+        # body(p) prefetches chunk p+nslot-1, so starting at p=1 continues
+        # seamlessly from the prologue's chunks 1..nslot-1
+        acc = jax.lax.fori_loop(1, nbody, body, acc0)
+    else:
+        acc = jax.lax.fori_loop(
+            0, nbody, body, jnp.zeros(o_ref.shape, jnp.float32))
     if nfull % 2:
         # epilogue: chunk nbody's lo plane is the last real one; its hi
         # plane is zero-quantized padding — skip that dot entirely
@@ -195,9 +232,13 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
         xp = jnp.zeros((bp, kp), jnp.bfloat16
                        ).at[:b, :k].set(x.astype(jnp.bfloat16))
 
+    # chunk-0 N-split bounds (128-aligned quarters, >=512 lanes each)
+    piece = max(512, _pad_to((n + 3) // 4, 128))
+    bounds = tuple(range(0, n, piece)) + (n,)
+
     out = pl.pallas_call(
         functools.partial(_w4_kernel, nchunks=nchunks, nslot=nslot,
-                          group=group, nfull=nfull),
+                          group=group, nfull=nfull, bounds=bounds),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -208,6 +249,7 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
         scratch_shapes=[
             pltpu.VMEM((nslot, group, n), jnp.int8),
             pltpu.SemaphoreType.DMA((nslot,)),
+            pltpu.SemaphoreType.DMA((len(bounds) - 1,)),
         ],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
