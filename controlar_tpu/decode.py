@@ -108,6 +108,33 @@ def init_flat_caches(
     return tuple(jnp.zeros(shape, dtype) for _ in range(cfg.n_layer))
 
 
+def init_stacked_caches(
+    cfg: GPTConfig, batch: int, max_seq: int, dtype=jnp.bfloat16
+):
+    """STACKED cache: one (L, B, S, R) array per stream instead of a
+    per-layer tuple. Pairs with the deferred-append decode step
+    (_decode_step_flat_stacked): the flash kernels read the stack at a
+    traced layer index and score the in-flight row from VMEM, so the step
+    appends ALL layers' rows with one dynamic-update-slice per stream
+    (2 ops/step) instead of 2 per layer (48 at GPT-3B, ~0.33 ms/step of
+    dispatch glue). Uniform positions only (the generate() regime)."""
+    shape = (cfg.n_layer, batch, max_seq, 2 * cfg.kv_heads * cfg.head_dim)
+    sshape = (cfg.n_layer, batch, max_seq, scale_pad(cfg.kv_heads))
+    if dtype == jnp.int8:
+        return {"kv": jnp.zeros(shape, jnp.int8),
+                "s": jnp.zeros(sshape, jnp.float32)}
+    if dtype == jnp.int4:
+        w = kv4_row_width(cfg.kv_heads, cfg.head_dim)
+        return {"kv4": jnp.zeros((cfg.n_layer, batch, max_seq, 2 * w),
+                                 jnp.int8),
+                "s": jnp.zeros(sshape, jnp.float32)}
+    return jnp.zeros(shape, dtype)
+
+
+def is_stacked_caches(caches) -> bool:
+    return not isinstance(caches, tuple)
+
+
 def scale_pad(kv_heads: int) -> int:
     return max(128, ((2 * kv_heads + 127) // 128) * 128)
 
@@ -124,6 +151,10 @@ def is_quantized_cache(caches_or_layer) -> bool:
 
 
 def cache_seq_len(caches: Caches) -> int:
+    if is_stacked_caches(caches):
+        arr = caches.get("kv", caches.get("kv4")) if isinstance(
+            caches, dict) else caches
+        return arr.shape[2]
     c0 = caches[0]
     if isinstance(c0, dict):
         return c0.get("kv", c0.get("kv4")).shape[1]
@@ -247,7 +278,9 @@ def prefill_flat(
         m = causal[None]
     mask = m[:, None]  # (B|1, 1, T, T)
 
-    kvs = list(caches)
+    stacked = is_stacked_caches(caches)
+    kvs = [None] * cfg.n_layer if stacked else list(caches)
+    stk_rows, stk_scales = [], []
     h = prefix_emb
     hd = cfg.n_head * cfg.head_dim
     for l in range(cfg.n_layer):
@@ -260,7 +293,15 @@ def prefill_flat(
         kv_rows = jnp.concatenate(
             [k.reshape(b, t, hd), v.reshape(b, t, hd)], axis=-1
         )
-        if isinstance(kvs[l], dict):
+        if stacked:
+            if isinstance(caches, dict):
+                q_rows, s_rows = _quantize_rows_for(
+                    caches, kv_rows, cfg.kv_heads, split=split)
+                stk_rows.append(q_rows)
+                stk_scales.append(s_rows)
+            else:
+                stk_rows.append(kv_rows.astype(caches.dtype))
+        elif isinstance(kvs[l], dict):
             kk_ = _cache_kv_key(kvs[l])
             q_rows, s_rows = _quantize_rows_for(kvs[l], kv_rows, cfg.kv_heads,
                                                 split=split)
@@ -283,6 +324,19 @@ def prefill_flat(
         x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
         h = h + ffn(lp, x)
     logits = _logits(params, cfg, h[:, -1])
+    if stacked:
+        if isinstance(caches, dict):
+            kk_ = _cache_kv_key(caches)
+            new = {
+                kk_: jax.lax.dynamic_update_slice(
+                    caches[kk_], jnp.stack(stk_rows), (0, 0, 0, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    caches["s"], jnp.stack(stk_scales), (0, 0, 0, 0)),
+            }
+        else:
+            new = jax.lax.dynamic_update_slice(
+                caches, jnp.stack(stk_rows), (0, 0, 0, 0))
+        return logits, new
     return logits, tuple(kvs)
 
 
@@ -405,6 +459,10 @@ def decode_step_flat(
     use_flash: bool = True,
 ) -> Tuple[jnp.ndarray, Caches]:
     """One decode step at position pos. token: (B,)."""
+    if is_stacked_caches(caches):
+        return _decode_step_flat_stacked(
+            params, cfg, caches, token, pos, fused3, col_mask_full,
+            control_strength, use_flash=use_flash)
     b = token.shape[0]
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
@@ -482,3 +540,138 @@ def decode_step_flat(
         h = h + ffn(lp, x)
     logits = _logits(params, cfg, h[:, -1])
     return logits, tuple(kvs)
+
+
+def _decode_step_flat_stacked(
+    params: Params,
+    cfg: GPTConfig,
+    caches,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    fused3: Optional[jnp.ndarray],
+    col_mask_full: Optional[jnp.ndarray],
+    control_strength=1.0,
+    use_flash: bool = True,
+) -> Tuple[jnp.ndarray, Any]:
+    """Deferred-append decode step over a STACKED (L, B, S, R) cache.
+
+    Per layer, attention runs over HBM rows [0, pos) plus the in-flight row
+    passed to the kernel in VMEM (ops/flash_decode_stacked); the appends for
+    ALL layers happen at the end of the step as one dynamic-update-slice per
+    cache stream. Positions are uniform (scalar pos) — the generate() /
+    spec-verify regime. Replaces 2 DUS per layer (~0.33 ms/step at GPT-3B)
+    with 2 per step."""
+    from controlar_tpu.ops.flash_decode_stacked import (
+        flash_stacked, flash_stacked_q4, flash_stacked_q8)
+
+    b = token.shape[0]
+    hd = cfg.n_head * cfg.head_dim
+    gate, fidx = _fusion_gates(cfg)
+    h = params["tok_embeddings"][token][:, None, :]
+    split = _is_split(params)
+    if split:
+        rope, cos_sin = None, tuple(
+            jax.lax.dynamic_slice_in_dim(tb, pos, 1, axis=0)
+            for tb in _split_tables(cfg))
+    else:
+        rope = jax.lax.dynamic_slice_in_dim(
+            make_rope_table(cfg), pos, 1, axis=0)
+        cos_sin = None
+    fuse_pos = pos - cfg.cls_token_num + 1
+
+    quant = isinstance(caches, dict)
+    kk_ = _cache_kv_key(caches) if quant else None
+    s_max = cache_seq_len(caches)
+    col_bias = None
+    if use_flash:
+        if col_mask_full is not None:
+            col_bias = jnp.where(col_mask_full, 0.0, -1e9).astype(jnp.float32)
+    else:
+        cols = jnp.arange(s_max)
+        allowed = cols[None, :] <= pos
+        if col_mask_full is not None:
+            allowed = allowed & col_mask_full
+        mask = allowed[:, None, None, :]
+
+    stk_rows, stk_scales = [], []
+    for l in range(cfg.n_layer):
+        lp = _layer_params(params, l)
+        if fused3 is not None and gate[l] > 0:
+            row = jax.lax.dynamic_slice_in_dim(fused3[fidx[l]], fuse_pos, 1,
+                                               axis=1)
+            h = h + (control_strength * row).astype(h.dtype)
+        x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv_for(lp, cfg, x, rope, cos_sin)
+        kv_row = jnp.concatenate(
+            [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
+        )
+        if quant:
+            q_row, s_row = _quantize_rows_for(caches, kv_row[:, 0],
+                                              cfg.kv_heads, split=split)
+            stk_rows.append(q_row)
+            stk_scales.append(s_row)
+        else:
+            stk_rows.append(kv_row[:, 0].astype(caches.dtype))
+
+        if use_flash:
+            lyr = jnp.asarray(l, jnp.int32)
+            if quant and kk_ == "kv4":
+                attn = flash_stacked_q4(
+                    q.reshape(b, hd), stk_rows[-1], stk_scales[-1],
+                    caches["kv4"], caches["s"], lyr, pos, col_bias,
+                    n_head=cfg.n_head, head_dim=cfg.head_dim, split=split,
+                ).astype(h.dtype)[:, None, :]
+            elif quant:
+                attn = flash_stacked_q8(
+                    q.reshape(b, hd), stk_rows[-1], stk_scales[-1],
+                    caches["kv"], caches["s"], lyr, pos, col_bias,
+                    n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+            else:
+                attn = flash_stacked(
+                    q.reshape(b, hd), stk_rows[-1], caches, lyr, pos,
+                    col_bias, n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+        else:
+            # XLA fallback (CPU tests): materialize this layer's slab with
+            # the in-flight row written, then masked attention
+            if quant:
+                lc = {kk_: jax.lax.dynamic_update_slice(
+                          caches[kk_][l], stk_rows[-1][:, None], (0, pos, 0)),
+                      "s": jax.lax.dynamic_update_slice(
+                          caches["s"][l], stk_scales[-1][:, None],
+                          (0, pos, 0))}
+                slab = _dequant_slab(lc, cfg, h.dtype, split=split)
+            else:
+                slab = jax.lax.dynamic_update_slice(
+                    caches[l], stk_rows[-1][:, None].astype(caches.dtype),
+                    (0, pos, 0))
+            kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
+            ) * (1.0 / np.sqrt(cfg.head_dim))
+            scores = jnp.where(mask, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            attn = jnp.einsum(
+                "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
+            ).astype(h.dtype).reshape(b, 1, hd)
+        h = h + wdot(attn, lp["wo"])
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        h = h + ffn(lp, x)
+
+    # deferred batched append: one DUS per stream for all L layers
+    if quant:
+        new = {
+            kk_: jax.lax.dynamic_update_slice(
+                caches[kk_], jnp.stack(stk_rows)[:, :, None],
+                (0, 0, pos, 0)),
+            "s": jax.lax.dynamic_update_slice(
+                caches["s"], jnp.stack(stk_scales)[:, :, None],
+                (0, 0, pos, 0)),
+        }
+    else:
+        new = jax.lax.dynamic_update_slice(
+            caches, jnp.stack(stk_rows)[:, :, None], (0, 0, pos, 0))
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, new

@@ -39,7 +39,7 @@ def _sample_from(rng, logits, temperature, top_k, top_p, sample_logits):
     static_argnames=(
         "cfg", "max_new_tokens", "cfg_scale", "cfg_interval",
         "temperature", "top_k", "top_p", "sample_logits", "cache_dtype",
-        "use_flash",
+        "use_flash", "kv_stacked",
     ),
     donate_argnums=(),
 )
@@ -61,6 +61,7 @@ def generate_tokens(
     sample_logits: bool = True,
     cache_dtype=jnp.bfloat16,
     use_flash: bool = False,
+    kv_stacked: bool = False,
 ) -> jnp.ndarray:
     """Generate image tokens. All CFG doubling must be done by the caller
     (prefix_emb/fused3/col_mask carry the [cond; uncond] 2B batch when
@@ -80,7 +81,9 @@ def generate_tokens(
     s_align = 256 if use_flash else 8
     s_max = find_multiple(t_cls + max_new_tokens, s_align)
 
-    caches = decode_engine.init_flat_caches(cfg, bc, s_max, cache_dtype)
+    init = (decode_engine.init_stacked_caches if kv_stacked
+            else decode_engine.init_flat_caches)
+    caches = init(cfg, bc, s_max, cache_dtype)
 
     logits0, caches = decode_engine.prefill_flat(
         params, cfg, caches, prefix_emb, fused3, col_mask, control_strength
@@ -159,8 +162,13 @@ def generate(
     rng: Optional[jax.Array] = None,
     cache_dtype=jnp.bfloat16,
     use_flash: Optional[bool] = None,
+    kv_stacked: bool = False,
 ) -> jnp.ndarray:
     """High-level entry mirroring ref generate() (generate.py:134-204).
+
+    kv_stacked=True selects the stacked (L, B, S, R) KV cache with deferred
+    batched appends (decode.init_stacked_caches) — fewer per-step dispatch
+    ops on the uniform-position decode loop.
 
     Builds the CFG-combined prefix / control projections, then calls the jitted
     loop. `adapter_features` are the control-encoder outputs *after*
@@ -224,4 +232,5 @@ def generate(
         sample_logits=sample_logits,
         cache_dtype=cache_dtype,
         use_flash=use_flash,
+        kv_stacked=kv_stacked,
     )

@@ -1,7 +1,13 @@
 """Model-size benchmark sweep matching the reference's serving table
 (ref serve/README.md:8-16: GPT-B/L/XL/XXL/3B, batch 8, 384px = 576 tokens,
 CFG). Also measures the int8 weight-streaming decode path (quant.py) for the
-HBM-bound larger models. Writes PERFORMANCE.md. Run: python scripts/bench_sweep.py"""
+HBM-bound larger models. Writes PERFORMANCE.md. Run: python scripts/bench_sweep.py
+
+A/B switches (these do NOT overwrite PERFORMANCE.md/BENCH_SWEEP.json):
+  --stacked        use the stacked (L,B,S,R) deferred-append KV cache
+  --sizes GPT-3B   comma list, subset of the sweep
+"""
+import argparse
 import json
 import sys
 import time
@@ -91,6 +97,16 @@ Notes:
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stacked", action="store_true",
+                    help="stacked deferred-append KV cache (A/B run)")
+    ap.add_argument("--sizes", default=None,
+                    help="comma list of sizes (A/B run)")
+    args = ap.parse_args()
+    ab_run = args.stacked or args.sizes is not None
+    sizes = (dict(BASELINES) if args.sizes is None else
+             {s: BASELINES[s] for s in args.sizes.split(",")})
+
     import jax
     import jax.numpy as jnp
 
@@ -101,7 +117,7 @@ def main():
     from controlar_tpu import generate as jgen, decode as dec, quant
 
     rows = []
-    for size, (eager, vllm) in BASELINES.items():
+    for size, (eager, vllm) in sizes.items():
         cfg = gpt_config(size, model_type="c2i", cls_token_num=1, block_size=576,
                          vocab_size=16384, num_classes=1000)
         labels = jnp.arange(8) * 100
@@ -112,6 +128,7 @@ def main():
                     params, cfg, labels=labels, max_new_tokens=576,
                     cfg_scale=4.0, temperature=1.0, top_k=2000,
                     rng=jax.random.PRNGKey(seed), cache_dtype=cache_dtype,
+                    kv_stacked=args.stacked,
                 ))
             run(0)
             times = []
@@ -153,6 +170,12 @@ def main():
         print(f"{size}: bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)"
               f"{i8}{w4}", flush=True)
 
+    if ab_run:
+        print(json.dumps([
+            {"size": s, "bf16_s": b, "int8_s": b8, "w4_s": b4,
+             "stacked": args.stacked}
+            for s, _, _, b, x, b8, x8, b4, x4 in rows]))
+        return
     with open("PERFORMANCE.md", "w") as f:
         f.write(
             "# Performance\n\n"
