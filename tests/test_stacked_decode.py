@@ -133,6 +133,25 @@ def test_generate_stacked_equals_per_layer_fallback(cache_dtype):
     np.testing.assert_array_equal(t_ref, t_stk)
 
 
+def test_generate_stacked_t2i_emb_masks_equals_per_layer():
+    """t2i with left-padded caption masks (the col_mask_full path) through
+    the stacked fallback: exact token equality vs per-layer."""
+    cfg = GPTConfig(model_type="t2i", dim=64, n_layer=2, n_head=4,
+                    cls_token_num=6, block_size=16, vocab_size=128,
+                    caption_dim=32)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(4), cfg, jnp.float32)
+    cap = jax.random.normal(jax.random.PRNGKey(5), (2, 6, 32), jnp.float32)
+    masks = np.ones((2, 6), bool)
+    masks[0, :3] = False  # left padding
+    kw = dict(caption_emb=cap, emb_masks=jnp.asarray(masks),
+              max_new_tokens=cfg.block_size, cfg_scale=3.0,
+              sample_logits=False, rng=jax.random.PRNGKey(0),
+              use_flash=False, cache_dtype=jnp.int8)
+    t_ref = np.asarray(jgen.generate(params, cfg, kv_stacked=False, **kw))
+    t_stk = np.asarray(jgen.generate(params, cfg, kv_stacked=True, **kw))
+    np.testing.assert_array_equal(t_ref, t_stk)
+
+
 def test_generate_stacked_kernels_interpret_e2e():
     """Full CPU generate through the REAL stacked kernels (interpret):
     greedy tokens must track the XLA per-layer reference closely (bf16
