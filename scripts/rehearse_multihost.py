@@ -29,6 +29,11 @@ def build_tree(root: str):
     import numpy as np
     import jax
 
+    # the rehearsal is a pure-CPU exercise; without this pin the tree build
+    # runs on the default backend (axon TPU here) and a tunnel outage hangs
+    # the whole driver before any worker spawns
+    jax.config.update("jax_platforms", "cpu")
+
     from controlar_tpu.config import VQConfig
     from controlar_tpu.models import vq as jvq
     from controlar_tpu.data.extract import extract_tree
