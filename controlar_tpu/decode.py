@@ -236,10 +236,34 @@ def _layer_params(params: Params, l: int):
     return jax.tree.map(lambda a: a[l], params["layers"])
 
 
+# A/B toggle for the single-call fused W4 FFN kernel (w13 + gate + w2 in
+# one Pallas program; the (B, 2F) intermediate never round-trips HBM)
+W4_FFN_FUSED = True
+
+
 def ffn(lp, x: jnp.ndarray) -> jnp.ndarray:
     """SwiGLU FFN; supports the fused-w13 layout (one streamed weight for
-    w1|w3 — halves the per-layer kernel dispatches on the W4 path)."""
+    w1|w3 — halves the per-layer kernel dispatches on the W4 path) and,
+    when both weights are W4 and the shapes fit VMEM, the fully-fused
+    single-kernel FFN (ops/w4_matmul.w4_ffn)."""
     if "w13" in lp:
+        from controlar_tpu.quant import is_quantized_w4
+
+        if (W4_FFN_FUSED and is_quantized_w4(lp["w13"])
+                and is_quantized_w4(lp["w2"])):
+            from controlar_tpu.ops.w4_matmul import w4_ffn, w4_ffn_fits
+
+            lead = x.shape[:-1]
+            x2 = x.reshape(-1, x.shape[-1])
+            if (jax.default_backend() == "tpu" and x2.shape[0] <= 256
+                    and x2.shape[-1] % 128 == 0
+                    and w4_ffn_fits(lp["w13"]["q4"], lp["w13"]["s"],
+                                    lp["w2"]["q4"], lp["w2"]["s"],
+                                    x2.shape[0])):
+                out = w4_ffn(x2, lp["w13"]["q4"], lp["w13"]["s"],
+                             lp["w2"]["q4"], lp["w2"]["s"],
+                             out_dtype=x.dtype)
+                return out.reshape(*lead, out.shape[-1])
         y = wdot(x, lp["w13"])
         h1, h3 = jnp.split(y, 2, axis=-1)
         return wdot(jax.nn.silu(h1) * h3, lp["w2"])

@@ -202,6 +202,208 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem, sem0,
     o_ref[:] = acc
 
 
+def _w4_ffn_kernel(x_ref, q13_hbm, s13_ref, q2_hbm, s2_ref, o_ref,
+                   buf13, sem13, sem0, buf2, sem2, zbuf,
+                   *, group: int, nfull13: int, nchunks13: int, nslot13: int,
+                   bounds: tuple, f: int, nfull2: int, nchunks2: int,
+                   nslot2: int):
+    """Fused SwiGLU FFN: stream q13 (K -> 2F), gate in VMEM, stream q2
+    (F -> N) — one kernel call; the (B, 2F) intermediate never leaves VMEM
+    and q2's first chunks prefetch under the q13 phase."""
+
+    def get13(slot, i):
+        return pltpu.make_async_copy(
+            q13_hbm.at[pl.ds(i * group, group), :], buf13.at[slot],
+            sem13.at[slot])
+
+    def get2(slot, i):
+        return pltpu.make_async_copy(
+            q2_hbm.at[pl.ds(i * group, group), :], buf2.at[slot],
+            sem2.at[slot])
+
+    npieces = len(bounds) - 1
+    nbody13 = nfull13 // 2
+    split0 = nbody13 >= 1 and npieces > 1
+
+    def get_piece(j):
+        c0, c1 = bounds[j], bounds[j + 1]
+        return pltpu.make_async_copy(
+            q13_hbm.at[pl.ds(0, group), pl.ds(c0, c1 - c0)],
+            buf13.at[0, :, pl.ds(c0, c1 - c0)], sem0.at[j])
+
+    # warm-up: chunk 0 (piece-split when worthwhile), then the pipeline
+    # depth of q13, then q2's first chunks (they land during phase 1)
+    if split0:
+        for j in range(npieces):
+            get_piece(j).start()
+        for w_ in range(1, min(nslot13, nchunks13)):
+            get13(w_, w_).start()
+    else:
+        for w_ in range(min(nslot13 - 1, nchunks13)):
+            get13(w_, w_).start()
+    for w_ in range(min(nslot2 - 1, nchunks2)):
+        get2(w_, w_).start()
+
+    def chunk_dots(p, carrier, src_ref, s_ref, cols=None):
+        c = carrier.astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        hi = (c >> 4).astype(jnp.bfloat16)
+        csl = slice(None) if cols is None else pl.ds(*cols)
+        sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
+        sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
+        xl = src_ref[:, pl.ds(2 * p * group, group)]
+        xh = src_ref[:, pl.ds((2 * p + 1) * group, group)]
+        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+        return dl * sl + dh * sh
+
+    # ---- phase 1: acc13 = x @ w13 (f32, lives in VMEM regs)
+    def body13(p, acc):
+        slot = p % nslot13
+
+        @pl.when(p + nslot13 - 1 < nchunks13)
+        def _():
+            get13((p + nslot13 - 1) % nslot13, p + nslot13 - 1).start()
+
+        get13(slot, p).wait()
+        return acc + chunk_dots(p, buf13[slot][:], x_ref, s13_ref)
+
+    if split0:
+        parts = []
+        for j in range(npieces):
+            get_piece(j).wait()
+            c0, c1 = bounds[j], bounds[j + 1]
+            parts.append(chunk_dots(0, buf13[0, :, pl.ds(c0, c1 - c0)],
+                                    x_ref, s13_ref, cols=(c0, c1 - c0)))
+        acc0 = jnp.concatenate(parts, axis=-1)
+        acc13 = jax.lax.fori_loop(1, nbody13, body13, acc0)
+    else:
+        acc13 = jax.lax.fori_loop(
+            0, nbody13, body13,
+            jnp.zeros((x_ref.shape[0], 2 * f), jnp.float32))
+    if nfull13 % 2:
+        p = nbody13
+        get13(p % nslot13, p).wait()
+        c = buf13[p % nslot13][:].astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        sl = s13_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
+        xl = x_ref[:, pl.ds(2 * p * group, group)]
+        acc13 = acc13 + jnp.dot(
+            xl, lo, preferred_element_type=jnp.float32) * sl
+
+    # ---- gate (matches decode.ffn numerics: bf16 halves, bf16 silu*mul)
+    y = acc13.astype(jnp.bfloat16)
+    h1 = y[:, :f]
+    h3 = y[:, f:]
+    zbuf[:] = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)
+
+    # ---- phase 2: out = z @ w2
+    def body2(p, acc):
+        slot = p % nslot2
+
+        @pl.when(p + nslot2 - 1 < nchunks2)
+        def _():
+            get2((p + nslot2 - 1) % nslot2, p + nslot2 - 1).start()
+
+        get2(slot, p).wait()
+        return acc + chunk_dots(p, buf2[slot][:], zbuf, s2_ref)
+
+    acc2 = jax.lax.fori_loop(
+        0, nfull2 // 2, body2, jnp.zeros(o_ref.shape, jnp.float32))
+    if nfull2 % 2:
+        p = nfull2 // 2
+        get2(p % nslot2, p).wait()
+        c = buf2[p % nslot2][:].astype(jnp.int32)
+        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+        sl = s2_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
+        zl = zbuf[:, pl.ds(2 * p * group, group)]
+        acc2 = acc2 + jnp.dot(
+            zl, lo, preferred_element_type=jnp.float32) * sl
+    o_ref[:] = acc2
+
+
+def w4_ffn_fits(q13, s13, q2, s2, b: int) -> bool:
+    """Static VMEM feasibility check for the fused FFN kernel."""
+    kp13, n13 = q13.shape
+    kp2, n2 = q2.shape
+    group = 2 * kp13 // s13.shape[0]
+    bp = _pad_to(max(b, 16), 16)
+    if n13 % 256 or n2 % 128 or group % 128:
+        return False
+    f = n13 // 2
+    if f % group or 2 * kp2 != _pad_to(f, 2 * group):
+        return False
+    resident = (
+        2 * group * n13 +            # buf13 (nslot13=2) int8
+        2 * group * n2 +             # buf2 int8
+        s13.size * 4 + s2.size * 4 +
+        bp * f * 2 +                 # zbuf bf16
+        bp * n13 * 4 * 3 +           # acc13 + dl/dh temporaries
+        bp * n2 * 4 * 3 +
+        bp * (kp13 * 2) * 2          # x bf16
+    )
+    return resident < int(14.0 * 1024 * 1024)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def w4_ffn(x: jnp.ndarray, q13: jnp.ndarray, s13: jnp.ndarray,
+           q2: jnp.ndarray, s2: jnp.ndarray,
+           out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:
+    """Fused SwiGLU FFN over the fused-w13 W4 layout:
+    silu(x@w1) * (x@w3) @ w2, one Pallas call.
+
+    Numerics match decode.ffn's unfused path (bf16 gate on the f32
+    accumulator halves). K and F must be group multiples (every model dim
+    is); callers gate on w4_ffn_fits."""
+    b, k = x.shape
+    kp13_2, n13 = q13.shape
+    kp2_2, n2 = q2.shape
+    group = 2 * kp13_2 // s13.shape[0]
+    f = n13 // 2
+    assert f % group == 0 and k % group == 0
+    nfull13, nchunks13 = k // group, kp13_2 // group
+    nfull2, nchunks2 = f // group, kp2_2 // group
+    bp = _pad_to(max(b, 16), 16)
+    xp = x.astype(jnp.bfloat16)
+    if bp != b:
+        xp = jnp.zeros((bp, k), jnp.bfloat16).at[:b].set(xp)
+    piece = max(512, _pad_to((n13 + 3) // 4, 128))
+    bounds = tuple(range(0, n13, piece)) + (n13,)
+    nslot13 = nslot2 = 2
+
+    out = pl.pallas_call(
+        functools.partial(
+            _w4_ffn_kernel, group=group, nfull13=nfull13,
+            nchunks13=nchunks13, nslot13=nslot13, bounds=bounds, f=f,
+            nfull2=nfull2, nchunks2=nchunks2, nslot2=nslot2),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, n2), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nslot13, group, n13), jnp.int8),
+            pltpu.SemaphoreType.DMA((nslot13,)),
+            pltpu.SemaphoreType.DMA((len(bounds) - 1,)),
+            pltpu.VMEM((nslot2, group, n2), jnp.int8),
+            pltpu.SemaphoreType.DMA((nslot2,)),
+            pltpu.VMEM((bp, f), jnp.bfloat16),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * (k * n13 + f * n2),
+            bytes_accessed=kp13_2 * n13 + kp2_2 * n2 + xp.nbytes
+            + s13.nbytes + s2.nbytes + bp * n2 * 4,
+            transcendentals=bp * f,
+        ),
+    )(xp, q13, s13, q2, s2)
+    return out[:b].astype(out_dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
               out_dtype=jnp.bfloat16, interpret: bool = False) -> jnp.ndarray:

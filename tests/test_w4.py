@@ -122,3 +122,59 @@ def test_kv4_pack_roundtrip():
         assert err.max() <= smax / 2 + 1e-6
         rel = err.max() / np.abs(np.asarray(kv)).max()
         assert rel < 0.15, rel
+
+
+def test_w4_ffn_fused_matches_unfused():
+    """w4_ffn (one kernel: w13 + bf16 silu-gate + w2) == the unfused
+    two-call path's math (w4 dequant reference with the same bf16 gate)."""
+    from controlar_tpu.ops.w4_matmul import w4_ffn, w4_ffn_fits
+
+    rng = np.random.default_rng(5)
+    for b, k, f, n in [(16, 256, 512, 256), (8, 384, 640, 384)]:
+        x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32) * 0.2,
+                        dtype=jnp.bfloat16)
+        w13 = jnp.asarray(
+            rng.standard_normal((k, 2 * f)).astype(np.float32) * 0.05)
+        w2 = jnp.asarray(
+            rng.standard_normal((f, n)).astype(np.float32) * 0.05)
+        q13 = quantize_weight_w4(w13)
+        q2 = quantize_weight_w4(w2)
+        assert w4_ffn_fits(q13["q4"], q13["s"], q2["q4"], q2["s"], b)
+
+        y = jnp.dot(x, dequantize_weight_w4(q13, jnp.bfloat16, k=k),
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        h1, h3 = jnp.split(y, 2, axis=-1)
+        z = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+        want = np.asarray(jnp.dot(
+            z, dequantize_weight_w4(q2, jnp.bfloat16, k=f),
+            preferred_element_type=jnp.float32))
+
+        got = np.asarray(w4_ffn(
+            x, q13["q4"], q13["s"], q2["q4"], q2["s"],
+            out_dtype=jnp.float32, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_w4_ffn_odd_plane_counts():
+    """K and F that give odd plane counts exercise both peeled epilogues."""
+    from controlar_tpu.ops.w4_matmul import w4_ffn
+
+    rng = np.random.default_rng(6)
+    b, k, f, n = 4, 384, 384, 128  # 384/128 = 3 planes (odd) both phases
+    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32) * 0.2,
+                    dtype=jnp.bfloat16)
+    w13 = jnp.asarray(rng.standard_normal((k, 2 * f)).astype(np.float32) * 0.05)
+    w2 = jnp.asarray(rng.standard_normal((f, n)).astype(np.float32) * 0.05)
+    q13 = quantize_weight_w4(w13)
+    q2 = quantize_weight_w4(w2)
+    y = jnp.dot(x, dequantize_weight_w4(q13, jnp.bfloat16, k=k),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+    h1, h3 = jnp.split(y, 2, axis=-1)
+    z = (jax.nn.silu(h1) * h3).astype(jnp.bfloat16)
+    want = np.asarray(jnp.dot(
+        z, dequantize_weight_w4(q2, jnp.bfloat16, k=f),
+        preferred_element_type=jnp.float32))
+    got = np.asarray(w4_ffn(
+        x, q13["q4"], q13["s"], q2["q4"], q2["s"],
+        out_dtype=jnp.float32, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
