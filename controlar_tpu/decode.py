@@ -379,6 +379,10 @@ def decode_step_multi(
     engine's continuous-batching primitive (each slot at its own depth;
     replaces the reference's vLLM scheduler+paged attention machinery,
     serve/model_runner.py)."""
+    if is_stacked_caches(caches):
+        return _decode_step_multi_stacked(
+            params, cfg, caches, token, pos, fused3, control_strength,
+            use_flash=use_flash, col_mask_full=col_mask_full)
     b = token.shape[0]
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)
@@ -697,5 +701,139 @@ def _decode_step_flat_stacked(
     else:
         new = jax.lax.dynamic_update_slice(
             caches, jnp.stack(stk_rows)[:, :, None], (0, 0, pos, 0))
+    logits = _logits(params, cfg, h[:, -1])
+    return logits, new
+
+
+def _stacked_vdus(stk, rows, p):
+    """XLA fallback write: stk[l, b, p[b]] = rows[l, b] (CPU tests)."""
+    return jax.vmap(
+        lambda c, r: jax.vmap(
+            lambda cc, rr, pp: jax.lax.dynamic_update_slice(
+                cc, rr[None], (pp, 0))
+        )(c, r, p)
+    )(stk, rows)
+
+
+def _decode_step_multi_stacked(
+    params: Params,
+    cfg: GPTConfig,
+    caches,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    fused3: Optional[jnp.ndarray] = None,
+    control_strength=1.0,
+    use_flash: bool = True,
+    col_mask_full: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Any]:
+    """PER-SLOT decode step over a STACKED (L, B, S, R) cache.
+
+    Attention per layer runs through ops/flash_decode_stacked (HBM rows
+    [0, pos_b) + in-flight row from VMEM); the appends for all L layers
+    collapse into ONE cache_append_rows_stacked call per stream (grid
+    (L, B) RMW windows) instead of a pallas_call per layer per stream.
+    Positions must be >= 1 for every slot (the serving engine clamps
+    never-admitted slots; see ops/flash_decode_stacked docstring)."""
+    from controlar_tpu.ops.cache_append import cache_append_rows_stacked
+    from controlar_tpu.ops.flash_decode_stacked import (
+        flash_stacked, flash_stacked_q4, flash_stacked_q8)
+
+    b = token.shape[0]
+    hd = cfg.n_head * cfg.head_dim
+    gate, fidx = _fusion_gates(cfg)
+    h = params["tok_embeddings"][token][:, None, :]
+    split = _is_split(params)
+    if split:
+        rope, cos_sin = None, tuple(
+            tb[pos][:, None] for tb in _split_tables(cfg))  # (B, 1, W2)
+    else:
+        rope, cos_sin = make_rope_table(cfg)[pos][:, None], None
+    fuse_pos = pos - cfg.cls_token_num + 1  # (B,)
+
+    quant = isinstance(caches, dict)
+    kk_ = _cache_kv_key(caches) if quant else None
+    s_max = cache_seq_len(caches)
+    col_bias = None
+    if use_flash:
+        if col_mask_full is not None:
+            col_bias = jnp.where(col_mask_full, 0.0, -1e9).astype(jnp.float32)
+    else:
+        cols = jnp.arange(s_max)
+        mask = (cols[None, :] <= pos[:, None])[:, None, None, :]
+        if col_mask_full is not None:
+            mask = mask & col_mask_full[:, None, None, :]
+
+    stk_rows, stk_scales = [], []
+    for l in range(cfg.n_layer):
+        lp = _layer_params(params, l)
+        if fused3 is not None and gate[l] > 0:
+            row = jax.vmap(
+                lambda f, p: jax.lax.dynamic_slice_in_dim(f, p, 1, axis=0)
+            )(fused3[fidx[l]], fuse_pos)
+            h = h + (control_strength * row).astype(h.dtype)
+        x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
+        q, k, v = _qkv_for(lp, cfg, x, rope, cos_sin)
+        kv_row = jnp.concatenate(
+            [k.reshape(b, 1, hd), v.reshape(b, 1, hd)], axis=-1
+        )
+        if quant:
+            q_row, s_row = _quantize_rows_for(caches, kv_row[:, 0],
+                                              cfg.kv_heads, split=split)
+            stk_rows.append(q_row)
+            stk_scales.append(s_row)
+        else:
+            stk_rows.append(kv_row[:, 0].astype(caches.dtype))
+
+        if use_flash:
+            lyr = jnp.asarray(l, jnp.int32)
+            if quant and kk_ == "kv4":
+                attn = flash_stacked_q4(
+                    q.reshape(b, hd), stk_rows[-1], stk_scales[-1],
+                    caches["kv4"], caches["s"], lyr, pos, col_bias,
+                    n_head=cfg.n_head, head_dim=cfg.head_dim, split=split,
+                ).astype(h.dtype)[:, None, :]
+            elif quant:
+                attn = flash_stacked_q8(
+                    q.reshape(b, hd), stk_rows[-1], stk_scales[-1],
+                    caches["kv"], caches["s"], lyr, pos, col_bias,
+                    n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+            else:
+                attn = flash_stacked(
+                    q.reshape(b, hd), stk_rows[-1], caches, lyr, pos,
+                    col_bias, n_head=cfg.n_head,
+                ).astype(h.dtype)[:, None, :]
+        else:
+            vdus = jax.vmap(
+                lambda c, r, pp: jax.lax.dynamic_update_slice(c, r, (pp, 0)))
+            if quant:
+                lc = {kk_: vdus(caches[kk_][l], stk_rows[-1][:, None], pos),
+                      "s": vdus(caches["s"][l], stk_scales[-1][:, None], pos)}
+                slab = _dequant_slab(lc, cfg, h.dtype, split=split)
+            else:
+                slab = vdus(caches[l],
+                            stk_rows[-1][:, None].astype(caches.dtype), pos)
+            kl = slab[:, :, :hd].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            vl = slab[:, :, hd:].reshape(b, s_max, cfg.kv_heads, cfg.head_dim)
+            scores = jnp.einsum(
+                "bthd,bshd->bhts", q, kl, preferred_element_type=jnp.float32
+            ) * (1.0 / np.sqrt(cfg.head_dim))
+            scores = jnp.where(mask, scores, -jnp.inf)
+            probs = jax.nn.softmax(scores, axis=-1).astype(h.dtype)
+            attn = jnp.einsum(
+                "bhts,bshd->bthd", probs, vl, preferred_element_type=jnp.float32
+            ).astype(h.dtype).reshape(b, 1, hd)
+        h = h + wdot(attn, lp["wo"])
+        x = rms_norm(h, lp["ffn_norm"], cfg.norm_eps)
+        h = h + ffn(lp, x)
+
+    # deferred appends: one grid-(L,B) RMW kernel per stream (flash), or the
+    # XLA scatter fallback (CPU tests)
+    write = (cache_append_rows_stacked if use_flash else _stacked_vdus)
+    if quant:
+        new = {kk_: write(caches[kk_], jnp.stack(stk_rows), pos),
+               "s": write(caches["s"], jnp.stack(stk_scales), pos)}
+    else:
+        new = write(caches, jnp.stack(stk_rows).astype(caches.dtype), pos)
     logits = _logits(params, cfg, h[:, -1])
     return logits, new

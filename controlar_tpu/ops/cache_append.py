@@ -156,3 +156,75 @@ def cache_append_block(
         cache,
     )
     return out
+
+
+def _stacked_kernel(pos_ref, rows_ref, cache_hbm, cache_out, buf, sem,
+                    *, window):
+    lyr = pl.program_id(0)
+    b = pl.program_id(1)
+    pos = pos_ref[b]
+    aligned = pl.multiple_of((pos // window) * window, window)
+    r = pos - aligned
+
+    rd = pltpu.make_async_copy(
+        cache_hbm.at[lyr, b, pl.ds(aligned, window), :], buf, sem
+    )
+    rd.start()
+    rd.wait()
+    hd = buf.shape[-1]
+    sel = jax.lax.broadcasted_iota(jnp.int32, (window, hd), 0) == r
+    buf[:] = jnp.where(sel, rows_ref[0], buf[:])
+    wr = pltpu.make_async_copy(
+        buf, cache_out.at[lyr, b, pl.ds(aligned, window), :], sem
+    )
+    wr.start()
+    wr.wait()
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("interpret",))
+def cache_append_rows_stacked(
+    cache: jnp.ndarray,  # (L, B, S, HD) stacked slabs
+    rows: jnp.ndarray,   # (L, B, HD) one new row per (layer, slot)
+    pos: jnp.ndarray,    # (B,) int32 per-slot positions
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """cache[l, b, pos[b]] = rows[l, b] for every layer, in place (aliased).
+
+    ONE kernel call replaces the per-layer cache_append_rows dispatches in
+    the per-slot (serving) decode step: grid (L, B) pipelines all the RMW
+    windows back to back instead of paying a pallas_call per layer per
+    stream."""
+    import functools
+
+    nl, b, s, hd = cache.shape
+    window = _window_for(cache.dtype)
+    out = pl.pallas_call(
+        functools.partial(_stacked_kernel, window=window),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nl, b),
+            in_specs=[
+                pl.BlockSpec((1, 1, hd), lambda i, j, *_: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((window, hd), cache.dtype),
+                pltpu.SemaphoreType.DMA(()),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+        # operands: pos=0, rows=1, cache=2 -> alias cache to output 0
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        pos.astype(jnp.int32),
+        rows.astype(cache.dtype),
+        cache,
+    )
+    return out

@@ -14,10 +14,13 @@ device trace). These kernels remove the per-layer appends entirely:
 - the caller batches all L layers' new rows into a single stacked DUS at
   the end of the step (decode._decode_step_flat_stacked): 48 DUS -> 2.
 
-Positions are UNIFORM (scalar pos) — that is the generate()/spec-verify
-regime; the serving engine keeps per-slot positions on the per-layer path.
-col_bias, when given, must be 0 at decode positions (prefix masks only),
-the same contract as flash_decode_attention2_q8_append.
+Positions may be a scalar (uniform — the generate() regime) or a (B,)
+vector (per-slot — the serving engine's continuous batching). EVERY
+position must be >= 1 (a prefill precedes decode; serving must clamp
+never-admitted slots to 1): the chained cross-slot DMA prefetch assumes
+each batch element streams at least one block, exactly like
+flash_decode_attention2_q8_append. col_bias, when given, must be 0 at
+decode positions (prefix masks only), the same contract as q8_append.
 
 Math is identical to ops/flash_decode2.py (same block-diagonal-q MXU trick,
 same online softmax); reference role unchanged (the reference needed a vLLM
@@ -46,6 +49,15 @@ def _sel_row(ref2d, b, dtype=jnp.float32):
     return jnp.sum(jnp.where(sel, ref2d[:].astype(dtype), 0.0), axis=0)
 
 
+def _scalars(layer, pos, b):
+    """Scalar-prefetch vector [layer, pos_0..pos_{B-1}]; pos may be a
+    scalar (uniform decode) or (B,) (per-slot serving)."""
+    pos_vec = jnp.broadcast_to(jnp.asarray(pos, jnp.int32).reshape(-1),
+                               (b,))
+    return jnp.concatenate(
+        [jnp.asarray(layer, jnp.int32).reshape(1), pos_vec])
+
+
 def _head_masks(n_head, head_dim):
     hd = n_head * head_dim
     row = jax.lax.broadcasted_iota(jnp.int32, (hd, n_head), 0)
@@ -72,10 +84,9 @@ def _kernel_bf16s(sc_ref, q_ref, kvn_ref, kv_hbm, bias_ref, o_ref,
                   *, n_head, head_dim, block, batch, has_bias):
     hd = n_head * head_dim
     scale = 1.0 / np.sqrt(head_dim)
-    lyr, pos = sc_ref[0], sc_ref[1]
+    lyr = sc_ref[0]
     head_mask, exp_mask = _head_masks(n_head, head_dim)
     exp_mask_f = exp_mask.astype(jnp.float32)
-    nb = pl.cdiv(pos, block)  # HBM rows [0, pos); row pos comes from VMEM
 
     def get_dma(slot, b, i):
         return pltpu.make_async_copy(
@@ -85,6 +96,8 @@ def _kernel_bf16s(sc_ref, q_ref, kvn_ref, kv_hbm, bias_ref, o_ref,
     get_dma(0, 0, 0).start()
 
     def body_b(b, slot0):
+        pos = sc_ref[1 + b]  # rows [0, pos) from HBM; row pos from VMEM
+        nb = pl.cdiv(pos, block)
         qf = _sel_row(q_ref, b)
         q_bd = jnp.where(head_mask, qf[:, None], 0.0).astype(jnp.bfloat16)
 
@@ -158,7 +171,7 @@ def flash_stacked(
     new_kv: jnp.ndarray,   # (B, 2*H*D) — the row for position pos (unwritten)
     kv_stack: jnp.ndarray,  # (L, B, S, 2*H*D) — rows [0, pos) valid
     layer: jnp.ndarray,    # scalar int32 (traced)
-    pos: jnp.ndarray,      # scalar int32, uniform across the batch
+    pos: jnp.ndarray,      # scalar (uniform) or (B,) per-slot positions
     col_bias: jnp.ndarray | None = None,  # (B, S), 0 at decode positions
     *,
     n_head: int,
@@ -194,7 +207,7 @@ def flash_stacked(
         out_shape=jax.ShapeDtypeStruct((b, hd), q.dtype),
         interpret=INTERPRET if interpret is None else interpret,
     )(
-        jnp.stack([layer, pos]).astype(jnp.int32),
+        _scalars(layer, pos, b),
         q.astype(jnp.bfloat16),
         new_kv.astype(jnp.bfloat16),
         kv_stack,
@@ -212,10 +225,9 @@ def _kernel_q8s(sc_ref, q_ref, kvn_ref, sn_ref, kv_hbm, sc_hbm, bias_ref,
                 *, n_head, head_dim, block, batch, has_bias, s_pad):
     hd = n_head * head_dim
     scale = 1.0 / np.sqrt(head_dim)
-    lyr, pos = sc_ref[0], sc_ref[1]
+    lyr = sc_ref[0]
     head_mask, exp_mask = _head_masks(n_head, head_dim)
     exp_mask_f = exp_mask.astype(jnp.float32)
-    nb = pl.cdiv(pos, block)
 
     def get_dma(slot, b, i):
         return pltpu.make_async_copy(
@@ -231,6 +243,8 @@ def _kernel_q8s(sc_ref, q_ref, kvn_ref, sn_ref, kv_hbm, sc_hbm, bias_ref,
     get_sc_dma(0, 0, 0).start()
 
     def body_b(b, slot0):
+        pos = sc_ref[1 + b]  # rows [0, pos) from HBM; row pos from VMEM
+        nb = pl.cdiv(pos, block)
         qf = _sel_row(q_ref, b)
         q_bd = jnp.where(head_mask, qf[:, None], 0.0).astype(jnp.bfloat16)
 
@@ -357,7 +371,7 @@ def flash_stacked_q8(
         out_shape=jax.ShapeDtypeStruct((b, hd), q.dtype),
         interpret=INTERPRET if interpret is None else interpret,
     )(
-        jnp.stack([layer, pos]).astype(jnp.int32),
+        _scalars(layer, pos, b),
         q.astype(jnp.bfloat16),
         new_kv,
         new_s.astype(jnp.float32),
@@ -391,8 +405,6 @@ def _kernel_q4s(sc_ref, qe_ref, qo_ref, ncn_ref, sn_ref, kv_hbm, sc_hbm,
         jnp.int32, (n_head, 2 * w), 0)) & (lane2 < half)).astype(jnp.bfloat16)
     exp_mask2_f = exp_mask2.astype(jnp.float32)
 
-    nb = pl.cdiv(pos, block)
-
     def get_dma(slot, b, i):
         return pltpu.make_async_copy(
             kv_hbm.at[lyr, b, pl.ds(i * block, block), :], kvbuf.at[slot],
@@ -407,6 +419,8 @@ def _kernel_q4s(sc_ref, qe_ref, qo_ref, ncn_ref, sn_ref, kv_hbm, sc_hbm,
     get_sc_dma(0, 0, 0).start()
 
     def body_b(b, slot0):
+        pos = sc_ref[1 + b]
+        nb = pl.cdiv(pos, block)
         qe_bd = jnp.where(head_mask, _sel_row(qe_ref, b)[:, None],
                           0.0).astype(jnp.bfloat16)
         qo_bd = jnp.where(head_mask, _sel_row(qo_ref, b)[:, None],
@@ -570,7 +584,7 @@ def flash_stacked_q4(
         out_shape=jax.ShapeDtypeStruct((b, 2 * w), q.dtype),
         interpret=INTERPRET if interpret is None else interpret,
     )(
-        jnp.stack([layer, pos]).astype(jnp.int32),
+        _scalars(layer, pos, b),
         qe.astype(jnp.bfloat16),
         qo.astype(jnp.bfloat16),
         new_c,

@@ -79,6 +79,10 @@ class ServeConfig:
     greedy: bool = False
     cache_dtype: Any = jnp.bfloat16
     use_flash: Optional[bool] = None
+    # stacked (L, B, S, R) KV cache: per-slot flash kernels over one stacked
+    # array + ONE grid-(L,B) append kernel per stream per step, instead of a
+    # pallas_call per layer per stream (decode._decode_step_multi_stacked)
+    kv_stacked: bool = False
     # persistent XLA compilation cache (cuts the one-time quantum compile to
     # a disk load on every process after the first)
     compilation_cache_dir: Optional[str] = None
@@ -101,7 +105,9 @@ class ServeEngine:
         n = serve_cfg.max_slots
         s_align = 256 if serve_cfg.use_flash else 8
         self.s_max = find_multiple(cfg.cls_token_num + cfg.block_size, s_align)
-        self.caches = dec.init_flat_caches(cfg, 2 * n, self.s_max, serve_cfg.cache_dtype)
+        init_caches = (dec.init_stacked_caches if serve_cfg.kv_stacked
+                       else dec.init_flat_caches)
+        self.caches = init_caches(cfg, 2 * n, self.s_max, serve_cfg.cache_dtype)
         d = cfg.dim
         self.fused = jnp.zeros((3, 2 * n, cfg.block_size, d), jnp.bfloat16)
         self.pos = jnp.zeros((2 * n,), jnp.int32)
@@ -187,19 +193,28 @@ class ServeEngine:
         fused3_req = gpt_model.fusion_projections(self.params, ct)  # (3,2K,blk,d)
 
         col_req = jnp.concatenate([emb_mask, emb_mask], axis=0)  # (2K, T_cls)
-        small = dec.init_flat_caches(cfg, 2 * k, self.s_max, self.scfg.cache_dtype)
+        init_caches = (dec.init_stacked_caches if self.scfg.kv_stacked
+                       else dec.init_flat_caches)
+        small = init_caches(cfg, 2 * k, self.s_max, self.scfg.cache_dtype)
         logits, small = dec.prefill_flat(
             self.params, cfg, small, prefix.astype(jnp.bfloat16),
             fused3_req, col_req,
         )
 
         def scatter(kv, skv):
-            if isinstance(kv, dict):  # int8 cache: kv rows + scale stream
-                return {"kv": kv["kv"].at[rows].set(skv["kv"]),
-                        "s": kv["s"].at[rows].set(skv["s"])}
+            if isinstance(kv, dict):  # quantized cache: rows + scale stream
+                return {key: kv[key].at[rows].set(skv[key]) for key in kv}
             return kv.at[rows].set(skv)
 
-        caches = tuple(scatter(kv, skv) for kv, skv in zip(caches, small))
+        if self.scfg.kv_stacked:
+            # stacked (L, B, S, R): slots live on dim 1
+            if isinstance(caches, dict):
+                caches = {key: caches[key].at[:, rows].set(small[key])
+                          for key in caches}
+            else:
+                caches = caches.at[:, rows].set(small)
+        else:
+            caches = tuple(scatter(kv, skv) for kv, skv in zip(caches, small))
         fused = fused.at[:, rows].set(fused3_req.astype(fused.dtype))
         col_full = jnp.ones((2 * k, self.s_max), bool)
         col_full = col_full.at[:, : cfg.cls_token_num].set(col_req)
@@ -277,8 +292,12 @@ class ServeEngine:
 
         def step(carry, i):
             caches, pos, cur = carry
+            # stacked kernels require pos >= 1 on every slot (chained DMA
+            # prefetch); never-admitted slots sit at 0 — clamp them onto
+            # garbage row 1, overwritten wholesale at admission
+            pos_k = jnp.maximum(pos, 1) if self.scfg.kv_stacked else pos
             logits, caches = dec.decode_step_multi(
-                self.params, cfg, caches, cur, pos, fused,
+                self.params, cfg, caches, cur, pos_k, fused,
                 control_strength=jnp.concatenate([strengths, strengths])[:, None, None],
                 use_flash=self.scfg.use_flash,
                 col_mask_full=col_mask,

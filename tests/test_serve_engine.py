@@ -110,3 +110,46 @@ def test_quantum_buckets_and_waste_stats():
         np.testing.assert_array_equal(a.tokens, b.tokens)
     # early exit should not be wasteful-er
     assert eng.stats["slot_steps"] <= eng2.stats["slot_steps"]
+
+
+def test_engine_stacked_cache_matches_per_layer():
+    """kv_stacked=True (stacked cache + deferred grid-(L,B) appends) emits
+    the same greedy tokens as the per-layer engine."""
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), CFG)
+    rng = np.random.default_rng(3)
+    n_req = 4
+    labels = rng.integers(0, 10, n_req)
+
+    def run(stacked):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_slots=2, quantum=5, greedy=True, top_k=0,
+                        cache_dtype=jnp.float32, use_flash=False,
+                        kv_stacked=stacked),
+        )
+        reqs = [Request(request_id=i, label=int(labels[i]), cfg_scale=2.0)
+                for i in range(n_req)]
+        return eng.run(reqs)
+
+    base = run(False)
+    stk = run(True)
+    for a, b in zip(base, stk):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_engine_stacked_int8_matches_per_layer_int8():
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), CFG)
+    labels = [1, 2, 3]
+
+    def run(stacked):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_slots=2, quantum=6, greedy=True, top_k=0,
+                        cache_dtype=jnp.int8, use_flash=False,
+                        kv_stacked=stacked),
+        )
+        return eng.run([Request(request_id=i, label=l, cfg_scale=2.0)
+                        for i, l in enumerate(labels)])
+
+    for a, b in zip(run(False), run(True)):
+        np.testing.assert_array_equal(a.tokens, b.tokens)

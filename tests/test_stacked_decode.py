@@ -194,3 +194,81 @@ def test_prefill_stacked_writes_match_per_layer():
             else:
                 np.testing.assert_array_equal(
                     np.asarray(per[l]), np.asarray(stk[l]))
+
+
+def test_stacked_per_slot_positions_match_dus_then_flash():
+    """Per-slot pos vector (the serving regime) through flash_stacked_q8:
+    each slot at its own depth must equal the per-layer kernel run on a
+    slab with that slot's row DUS-written first."""
+    L, B, H, D, S = 2, 3, 2, 16, 128
+    hd = H * D
+    rng = np.random.default_rng(7)
+    kv, new, q = _stack_setup(rng, L, B, S, 2 * hd)
+    qkv, scales = quantize_kv_rows(jnp.asarray(kv), H)
+    scales = dec._pad_scales(scales, H)
+    nq, ns = quantize_kv_rows(jnp.asarray(new), H)
+    ns = dec._pad_scales(ns, H)
+    pos = jnp.asarray([1, 65, 100], jnp.int32)
+
+    vdus = jax.vmap(lambda c, r, p: jax.lax.dynamic_update_slice(c, r, (p, 0)))
+    for lyr in range(L):
+        kv_ref = vdus(qkv[lyr], nq[:, None], pos)
+        s_ref = vdus(scales[lyr], ns[:, None], pos)
+        want = np.asarray(flash_decode_attention2_q8(
+            jnp.asarray(q), kv_ref, s_ref, pos, None,
+            n_head=H, block=64, interpret=True))
+        got = np.asarray(fds.flash_stacked_q8(
+            jnp.asarray(q), nq, ns, qkv, scales,
+            jnp.asarray(lyr), pos, None,
+            n_head=H, block=64, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
+def test_cache_append_rows_stacked_matches_vdus():
+    from controlar_tpu.ops.cache_append import cache_append_rows_stacked
+
+    rng = np.random.default_rng(8)
+    for dt in (jnp.float32, jnp.int8):
+        L, B, S, hd = 3, 2, 64, 256
+        if dt == jnp.int8:
+            cache = jnp.asarray(rng.integers(-100, 100, (L, B, S, hd)), dt)
+            rows = jnp.asarray(rng.integers(-100, 100, (L, B, hd)), dt)
+        else:
+            cache = jnp.asarray(rng.standard_normal((L, B, S, hd)), dt)
+            rows = jnp.asarray(rng.standard_normal((L, B, hd)), dt)
+        pos = jnp.asarray([5, 40], jnp.int32)
+        want = np.asarray(dec._stacked_vdus(cache, rows, pos))
+        got = np.asarray(cache_append_rows_stacked(cache, rows, pos,
+                                                   interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_decode_step_multi_stacked_equals_per_layer():
+    """Per-slot stacked step (XLA fallback) == per-layer decode_step_multi:
+    exact logits and cache contents."""
+    cfg = _tiny()
+    params = dec.unstack_layers(
+        jgpt.init_gpt_params(jax.random.PRNGKey(6), cfg, jnp.float32))
+    b, s_max = 3, 24
+    prefix = jax.random.normal(jax.random.PRNGKey(7), (b, 2, cfg.dim),
+                               jnp.float32)
+    tok = jnp.asarray([3, 5, 7], jnp.int32)
+    pos = jnp.asarray([2, 2, 2], jnp.int32)  # fresh after a 2-token prefill
+    for dt in (jnp.float32, jnp.int8, jnp.int4):
+        per = dec.init_flat_caches(cfg, b, s_max, dt)
+        stk = dec.init_stacked_caches(cfg, b, s_max, dt)
+        _, per = dec.prefill_flat(params, cfg, per, prefix, None, None)
+        _, stk = dec.prefill_flat(params, cfg, stk, prefix, None, None)
+        lg_p, per = dec.decode_step_multi(params, cfg, per, tok, pos,
+                                          use_flash=False)
+        lg_s, stk = dec.decode_step_multi(params, cfg, stk, tok, pos,
+                                          use_flash=False)
+        np.testing.assert_array_equal(np.asarray(lg_p), np.asarray(lg_s))
+        for l in range(cfg.n_layer):
+            if isinstance(stk, dict):
+                for key in stk:
+                    np.testing.assert_array_equal(
+                        np.asarray(per[l][key]), np.asarray(stk[key][l]))
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(per[l]), np.asarray(stk[l]))
