@@ -139,6 +139,8 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--stacked", action="store_true",
+                    help="stacked (L,B,S,R) KV cache (ServeConfig.kv_stacked)")
     ap.add_argument("--scenario", default="throughput",
                     choices=["throughput", "mixed", "t2i"])
     ap.add_argument("--rate", type=float, default=4.0,
@@ -160,6 +162,7 @@ def main():
         return
 
     scfg = ServeConfig(max_slots=8, quantum=72, top_k=2000,
+                       kv_stacked=args.stacked,
                        compilation_cache_dir="/tmp/jax_serve_cache")
     eng = ServeEngine(params, cfg, scfg)
 
