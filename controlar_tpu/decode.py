@@ -256,10 +256,9 @@ def ffn(lp, x: jnp.ndarray) -> jnp.ndarray:
             lead = x.shape[:-1]
             x2 = x.reshape(-1, x.shape[-1])
             if (jax.default_backend() == "tpu" and x2.shape[0] <= 256
-                    and x2.shape[-1] % 128 == 0
                     and w4_ffn_fits(lp["w13"]["q4"], lp["w13"]["s"],
                                     lp["w2"]["q4"], lp["w2"]["s"],
-                                    x2.shape[0])):
+                                    x2.shape[0], x2.shape[-1])):
                 out = w4_ffn(x2, lp["w13"]["q4"], lp["w13"]["s"],
                              lp["w2"]["q4"], lp["w2"]["s"],
                              out_dtype=x.dtype)
@@ -732,12 +731,15 @@ def _decode_step_multi_stacked(
     [0, pos_b) + in-flight row from VMEM); the appends for all L layers
     collapse into ONE cache_append_rows_stacked call per stream (grid
     (L, B) RMW windows) instead of a pallas_call per layer per stream.
-    Positions must be >= 1 for every slot (the serving engine clamps
-    never-admitted slots; see ops/flash_decode_stacked docstring)."""
+    Positions are clamped to >= 1 here (the stacked kernels' chained DMA
+    prefetch requires every slot to stream at least one block; a pos-0
+    slot has no prefill and is garbage by definition — the serving engine
+    overwrites its slab wholesale at admission)."""
     from controlar_tpu.ops.cache_append import cache_append_rows_stacked
     from controlar_tpu.ops.flash_decode_stacked import (
         flash_stacked, flash_stacked_q4, flash_stacked_q8)
 
+    pos = jnp.maximum(pos, 1)
     b = token.shape[0]
     hd = cfg.n_head * cfg.head_dim
     gate, fidx = _fusion_gates(cfg)

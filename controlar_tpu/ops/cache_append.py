@@ -13,6 +13,8 @@ per call — noise next to the attention reads.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -55,8 +57,6 @@ def cache_append_rows(
     pos: jnp.ndarray,    # (B,) int32
 ) -> jnp.ndarray:
     """cache[b, pos[b]] = rows[b], in place (aliased)."""
-    import functools
-
     b, s, hd = cache.shape
     window = _window_for(cache.dtype)
     out = pl.pallas_call(
@@ -125,8 +125,6 @@ def cache_append_block(
     pos[b] + K <= S - window_slack; callers size S with one extra
     alignment window of slack (spec_decode does).
     """
-    import functools
-
     b, s, hd = cache.shape
     _, k, _ = rows.shape
     window = _window_for(cache.dtype)
@@ -181,15 +179,17 @@ def _stacked_kernel(pos_ref, rows_ref, cache_hbm, cache_out, buf, sem,
     wr.wait()
 
 
-import functools as _functools
+# tests flip this to run the stacked append kernel (interpret mode)
+# inside a full CPU serve run; production callers leave it False
+INTERPRET = False
 
 
-@_functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret",))
 def cache_append_rows_stacked(
     cache: jnp.ndarray,  # (L, B, S, HD) stacked slabs
     rows: jnp.ndarray,   # (L, B, HD) one new row per (layer, slot)
     pos: jnp.ndarray,    # (B,) int32 per-slot positions
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """cache[l, b, pos[b]] = rows[l, b] for every layer, in place (aliased).
 
@@ -197,8 +197,6 @@ def cache_append_rows_stacked(
     the per-slot (serving) decode step: grid (L, B) pipelines all the RMW
     windows back to back instead of paying a pallas_call per layer per
     stream."""
-    import functools
-
     nl, b, s, hd = cache.shape
     window = _window_for(cache.dtype)
     out = pl.pallas_call(
@@ -221,7 +219,7 @@ def cache_append_rows_stacked(
         # operands: pos=0, rows=1, cache=2 -> alias cache to output 0
         input_output_aliases={2: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
+        interpret=INTERPRET if interpret is None else interpret,
     )(
         pos.astype(jnp.int32),
         rows.astype(cache.dtype),

@@ -391,7 +391,7 @@ def _kernel_q4s(sc_ref, qe_ref, qo_ref, ncn_ref, sn_ref, kv_hbm, sc_hbm,
                 *, n_head, half_d, w, block, batch, has_bias, s_pad):
     half = n_head * half_d
     scale = 1.0 / np.sqrt(2 * half_d)
-    lyr, pos = sc_ref[0], sc_ref[1]
+    lyr = sc_ref[0]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (w, n_head), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (w, n_head), 1)

@@ -103,6 +103,34 @@ def _nslot(group: int, n: int, bp: int, nchunks: int) -> int:
     return max(2, min(6, budget // (group * n)))
 
 
+def _dual_plane_dots(p, carrier, x_ref, s_ref, group, cols=None):
+    """One carrier chunk -> unpack lo/hi nibble planes (VPU) + two group
+    dots (MXU), scaled per plane. Planes 2p / 2p+1 read x columns
+    [2p*G, (2p+1)*G) / [(2p+1)*G, ...). Shared by _w4_kernel and
+    _w4_ffn_kernel so the unpack/addressing math has one home."""
+    c = carrier.astype(jnp.int32)
+    lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+    hi = (c >> 4).astype(jnp.bfloat16)
+    csl = slice(None) if cols is None else pl.ds(*cols)
+    sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
+    sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
+    xl = x_ref[:, pl.ds(2 * p * group, group)]
+    xh = x_ref[:, pl.ds((2 * p + 1) * group, group)]
+    dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
+    dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
+    return dl * sl + dh * sh
+
+
+def _tail_lo_dot(p, carrier, x_ref, s_ref, group):
+    """Peeled odd-plane tail: chunk p's lo plane is the last real one; the
+    hi plane is zero-quantized padding whose dot is skipped entirely."""
+    c = carrier.astype(jnp.int32)
+    lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+    sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
+    xl = x_ref[:, pl.ds(2 * p * group, group)]
+    return jnp.dot(xl, lo, preferred_element_type=jnp.float32) * sl
+
+
 def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem, sem0,
                *, nchunks: int, nslot: int, group: int, nfull: int,
                bounds: tuple):
@@ -152,18 +180,7 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem, sem0,
             get(w, w).start()
 
     def chunk_dots(p, carrier, cols=None):
-        c = carrier.astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        hi = (c >> 4).astype(jnp.bfloat16)
-        csl = slice(None) if cols is None else pl.ds(*cols)
-        sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
-        sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
-        # planes 2p / 2p+1 live at x columns [2p*G, (2p+1)*G) / [(2p+1)*G, .)
-        xl = x_ref[:, pl.ds(2 * p * group, group)]
-        xh = x_ref[:, pl.ds((2 * p + 1) * group, group)]
-        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
-        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
-        return dl * sl + dh * sh
+        return _dual_plane_dots(p, carrier, x_ref, s_ref, group, cols)
 
     def body(p, acc):
         slot = p % nslot
@@ -190,15 +207,9 @@ def _w4_kernel(x_ref, q_hbm, s_ref, o_ref, buf, sem, sem0,
         acc = jax.lax.fori_loop(
             0, nbody, body, jnp.zeros(o_ref.shape, jnp.float32))
     if nfull % 2:
-        # epilogue: chunk nbody's lo plane is the last real one; its hi
-        # plane is zero-quantized padding — skip that dot entirely
         p = nbody
         get(p % nslot, p).wait()
-        c = buf[p % nslot][:].astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
-        xl = x_ref[:, pl.ds(2 * p * group, group)]
-        acc = acc + jnp.dot(xl, lo, preferred_element_type=jnp.float32) * sl
+        acc = acc + _tail_lo_dot(p, buf[p % nslot][:], x_ref, s_ref, group)
     o_ref[:] = acc
 
 
@@ -245,17 +256,7 @@ def _w4_ffn_kernel(x_ref, q13_hbm, s13_ref, q2_hbm, s2_ref, o_ref,
         get2(w_, w_).start()
 
     def chunk_dots(p, carrier, src_ref, s_ref, cols=None):
-        c = carrier.astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        hi = (c >> 4).astype(jnp.bfloat16)
-        csl = slice(None) if cols is None else pl.ds(*cols)
-        sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
-        sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
-        xl = src_ref[:, pl.ds(2 * p * group, group)]
-        xh = src_ref[:, pl.ds((2 * p + 1) * group, group)]
-        dl = jnp.dot(xl, lo, preferred_element_type=jnp.float32)
-        dh = jnp.dot(xh, hi, preferred_element_type=jnp.float32)
-        return dl * sl + dh * sh
+        return _dual_plane_dots(p, carrier, src_ref, s_ref, group, cols)
 
     # ---- phase 1: acc13 = x @ w13 (f32, lives in VMEM regs)
     def body13(p, acc):
@@ -284,12 +285,8 @@ def _w4_ffn_kernel(x_ref, q13_hbm, s13_ref, q2_hbm, s2_ref, o_ref,
     if nfull13 % 2:
         p = nbody13
         get13(p % nslot13, p).wait()
-        c = buf13[p % nslot13][:].astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        sl = s13_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
-        xl = x_ref[:, pl.ds(2 * p * group, group)]
-        acc13 = acc13 + jnp.dot(
-            xl, lo, preferred_element_type=jnp.float32) * sl
+        acc13 = acc13 + _tail_lo_dot(p, buf13[p % nslot13][:], x_ref,
+                                     s13_ref, group)
 
     # ---- gate (matches decode.ffn numerics: bf16 halves, bf16 silu*mul)
     y = acc13.astype(jnp.bfloat16)
@@ -313,22 +310,23 @@ def _w4_ffn_kernel(x_ref, q13_hbm, s13_ref, q2_hbm, s2_ref, o_ref,
     if nfull2 % 2:
         p = nfull2 // 2
         get2(p % nslot2, p).wait()
-        c = buf2[p % nslot2][:].astype(jnp.int32)
-        lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-        sl = s2_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
-        zl = zbuf[:, pl.ds(2 * p * group, group)]
-        acc2 = acc2 + jnp.dot(
-            zl, lo, preferred_element_type=jnp.float32) * sl
+        acc2 = acc2 + _tail_lo_dot(p, buf2[p % nslot2][:], zbuf, s2_ref,
+                                   group)
     o_ref[:] = acc2
 
 
-def w4_ffn_fits(q13, s13, q2, s2, b: int) -> bool:
-    """Static VMEM feasibility check for the fused FFN kernel."""
+def w4_ffn_fits(q13, s13, q2, s2, b: int, k: int) -> bool:
+    """Static shape + VMEM feasibility gate for the fused FFN kernel:
+    both weights quantized with the SAME group, K and F group multiples,
+    lane-aligned widths, and all phase buffers within the VMEM budget."""
     kp13, n13 = q13.shape
     kp2, n2 = q2.shape
     group = 2 * kp13 // s13.shape[0]
+    group2 = 2 * kp2 // s2.shape[0]
     bp = _pad_to(max(b, 16), 16)
-    if n13 % 256 or n2 % 128 or group % 128:
+    if n13 % 256 or n2 % 128 or group % 128 or group2 != group:
+        return False
+    if k % group or 2 * kp13 != _pad_to(k, 2 * group):
         return False
     f = n13 // 2
     if f % group or 2 * kp2 != _pad_to(f, 2 * group):

@@ -292,12 +292,10 @@ class ServeEngine:
 
         def step(carry, i):
             caches, pos, cur = carry
-            # stacked kernels require pos >= 1 on every slot (chained DMA
-            # prefetch); never-admitted slots sit at 0 — clamp them onto
-            # garbage row 1, overwritten wholesale at admission
-            pos_k = jnp.maximum(pos, 1) if self.scfg.kv_stacked else pos
+            # never-admitted slots sit at pos 0; the stacked step clamps
+            # them to garbage row 1 itself (overwritten at admission)
             logits, caches = dec.decode_step_multi(
-                self.params, cfg, caches, cur, pos_k, fused,
+                self.params, cfg, caches, cur, pos, fused,
                 control_strength=jnp.concatenate([strengths, strengths])[:, None, None],
                 use_flash=self.scfg.use_flash,
                 col_mask_full=col_mask,

@@ -213,7 +213,10 @@ def speculative_accept(drafts, qprobs, pprobs, key):
     pd = jnp.take_along_axis(pprobs[:, :km1], drafts[..., None], axis=-1)[..., 0]
     qd = jnp.take_along_axis(qprobs, drafts[..., None], axis=-1)[..., 0]
     u = jax.random.uniform(ku, (b, km1))
-    accept = u * qd <= pd  # u < min(1, p/q) without the divide
+    # strict <: P(u*q < p) = min(1, p/q) exactly for u ~ U[0,1), and a
+    # draft with p==0 (outside the warped target's top-k support) can
+    # never be accepted even when u draws exactly 0.0
+    accept = u * qd < pd
     prefix_ok = jnp.cumprod(accept.astype(jnp.int32), axis=1)
     m = prefix_ok.sum(axis=1)  # (B,) in [0, K-1]
 

@@ -153,3 +153,40 @@ def test_engine_stacked_int8_matches_per_layer_int8():
 
     for a, b in zip(run(False), run(True)):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_engine_stacked_flash_kernels_slot_isolation():
+    """The REAL stacked kernel composition (flash attention + grid-(L,B)
+    append + pos>=1 clamp for empty slots), interpret mode: each slot's
+    numerics are independent of its neighbors, so request 0's tokens must
+    be BIT-IDENTICAL between a 1-request run (slot 1 empty all along —
+    exercising the clamp every step) and a 2-request run (slot 1 busy).
+    Any cross-slot append/clamp corruption breaks the equality."""
+    from controlar_tpu.ops import cache_append as ca
+    from controlar_tpu.ops import flash_decode_stacked as fds
+
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), CFG,
+                                  dtype=jnp.bfloat16)
+
+    def run(reqs):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_slots=2, quantum=6, greedy=True, top_k=0,
+                        cache_dtype=jnp.bfloat16, use_flash=True,
+                        kv_stacked=True),
+        )
+        return eng.run(reqs)
+
+    fds.INTERPRET = True
+    ca.INTERPRET = True
+    try:
+        solo = run([Request(request_id=0, label=3, cfg_scale=2.0)])
+        duo = run([Request(request_id=0, label=3, cfg_scale=2.0),
+                   Request(request_id=1, label=7, cfg_scale=2.0)])
+    finally:
+        fds.INTERPRET = False
+        ca.INTERPRET = False
+    assert solo[0].tokens.shape == (CFG.block_size,)
+    np.testing.assert_array_equal(solo[0].tokens, duo[0].tokens)
+    # and the busy neighbor actually decoded something different
+    assert not np.array_equal(duo[0].tokens, duo[1].tokens)

@@ -139,7 +139,14 @@ def test_w4_ffn_fused_matches_unfused():
             rng.standard_normal((f, n)).astype(np.float32) * 0.05)
         q13 = quantize_weight_w4(w13)
         q2 = quantize_weight_w4(w2)
-        assert w4_ffn_fits(q13["q4"], q13["s"], q2["q4"], q2["s"], b)
+        assert w4_ffn_fits(q13["q4"], q13["s"], q2["q4"], q2["s"], b, k)
+        # mismatched quantization groups must be rejected, not miscomputed
+        q2_g64 = quantize_weight_w4(w2, group=64)
+        assert not w4_ffn_fits(q13["q4"], q13["s"], q2_g64["q4"],
+                               q2_g64["s"], b, k)
+        # K not a multiple of the group must be rejected
+        assert not w4_ffn_fits(q13["q4"], q13["s"], q2["q4"], q2["s"], b,
+                               k - 8)
 
         y = jnp.dot(x, dequantize_weight_w4(q13, jnp.bfloat16, k=k),
                     preferred_element_type=jnp.float32).astype(jnp.bfloat16)
