@@ -52,10 +52,18 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--output-dir", default="samples")
     p.add_argument("--quant", action="store_true",
                    help="int8 weight streaming (+ int8 KV cache where applicable)")
-    p.add_argument("--spec-draft", default=None, choices=["int8", "w4"],
-                   help="speculative decode with a quantized self-draft "
-                        "(Leviathan accept/reject; samples from the same "
-                        "warped target distribution as vanilla decoding)")
+    p.add_argument("--spec-draft", default=None,
+                   choices=["int8", "w4", "model", "model-int8"],
+                   help="speculative decode (Leviathan accept/reject; "
+                        "samples from the same warped target distribution "
+                        "as vanilla decoding). int8/w4: quantized "
+                        "self-draft; model[-int8]: the cross-size draft "
+                        "from --draft-gpt-model/--draft-gpt-ckpt")
+    p.add_argument("--draft-gpt-model", default=None,
+                   help="smaller family member used as the speculative "
+                        "draft (e.g. GPT-B drafting GPT-3B)")
+    p.add_argument("--draft-gpt-ckpt", default=None,
+                   help="weights for --draft-gpt-model")
 
 
 def _build_pipeline(args, model_type: str):
@@ -124,12 +132,32 @@ def _build_pipeline(args, model_type: str):
             jnp.asarray, load_midas_checkpoint(args.midas_ckpt)
         )
 
+    draft_cfg = draft_params = None
+    if getattr(args, "draft_gpt_model", None):
+        draft_cfg = gpt_config(
+            args.draft_gpt_model, model_type=model_type,
+            block_size=gh * gw, cls_token_num=cls_token_num,
+            condition_type=args.condition_type,
+            adapter_size=args.adapter_size,
+            **({"grid_hw": (gh, gw)} if gh != gw else {}),
+        )
+        if getattr(args, "draft_gpt_ckpt", None):
+            draft_params = jax.tree.map(
+                jnp.asarray,
+                ckpt_lib.load_gpt_checkpoint(args.draft_gpt_ckpt, draft_cfg))
+        else:
+            print("[warn] no --draft-gpt-ckpt: random draft weights",
+                  file=sys.stderr)
+            draft_params = gpt_model.init_gpt_params(rng, draft_cfg,
+                                                     dtype=jnp.bfloat16)
+
     return ControlARPipeline(
         gpt_cfg=gcfg, gpt_params=gpt_params,
         vq_cfg=vcfg, vq_params=vq_params,
         adapter_cfg=acfg, adapter_params=adapter_params,
         condition_type=args.condition_type,
         midas_params=midas_params,
+        draft_gpt_cfg=draft_cfg, draft_gpt_params=draft_params,
     )
 
 

@@ -51,6 +51,10 @@ class ControlARPipeline:
     midas_params: Any = None  # MiDaS dpt_hybrid (the MR-checkpoint detector)
     midas_cfg: Any = None
     depth_fn: Any = None  # optional override: (B,H,W,3) uint8 -> (B,H,W) 0..255
+    # cross-size speculative draft (e.g. GPT-B drafting GPT-3B): a smaller
+    # family member's weights; used by generate(spec_draft="model"[...-int8])
+    draft_gpt_cfg: Any = None
+    draft_gpt_params: Any = None
 
     # ------------------------------------------------------------------
     def extract_condition(self, images_u8: np.ndarray, *,
@@ -126,10 +130,15 @@ class ControlARPipeline:
     ) -> np.ndarray:
         """Returns generated images as uint8 (B, H, W, 3). cache_dtype
         jnp.int8/int4 selects the quantized KV cache (pairs with the
-        quantized weight modes on gpt_params). spec_draft ("int8" | "w4")
-        decodes speculatively with a quantized self-draft: Leviathan
-        accept/reject preserves the same warped (temperature/top-k/top-p)
-        target distribution the non-speculative sampler draws from."""
+        quantized weight modes on gpt_params). spec_draft decodes
+        speculatively — Leviathan accept/reject preserves the same warped
+        (temperature/top-k/top-p) target distribution the non-speculative
+        sampler draws from:
+          "int8" | "w4"          quantized SELF-draft (same architecture)
+          "model" | "model-int8" the loaded cross-size draft
+                                 (draft_gpt_params/draft_gpt_cfg), e.g.
+                                 GPT-B drafting GPT-3B — the config that
+                                 pays when the target dominates the step"""
         adapter_feats = None
         if condition_images is not None:
             cond = self.extract_condition(
@@ -153,8 +162,19 @@ class ControlARPipeline:
             from controlar_tpu import quant as _quant
             from controlar_tpu import spec_decode as _spec
 
-            base = _dec.unstack_layers(self.gpt_params)
-            if spec_draft == "w4":
+            draft_cfg = None
+            if spec_draft in ("model", "model-int8"):
+                if self.draft_gpt_params is None:
+                    raise ValueError(
+                        "spec_draft=%r needs draft_gpt_params/draft_gpt_cfg "
+                        "on the pipeline" % spec_draft)
+                draft_cfg = self.draft_gpt_cfg
+                draft = self.draft_gpt_params
+                if spec_draft == "model-int8":
+                    draft = _quant.quantize_gpt_params(draft)
+                draft = _dec.unstack_layers(draft)
+            elif spec_draft == "w4":
+                base = _dec.unstack_layers(self.gpt_params)
                 draft = _quant.quantize_gpt_params_w4(base)
             elif spec_draft == "int8":
                 draft = _dec.unstack_layers(
@@ -162,7 +182,8 @@ class ControlARPipeline:
             else:
                 raise ValueError(spec_draft)
             tokens = _spec.generate_spec(
-                self.gpt_params, self.gpt_cfg, draft, **extra, **common,
+                self.gpt_params, self.gpt_cfg, draft, draft_cfg,
+                **extra, **common,
                 temperature=temperature, top_k=top_k, top_p=top_p,
                 rng=jax.random.PRNGKey(seed))
         else:

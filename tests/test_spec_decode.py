@@ -315,3 +315,43 @@ def test_pipeline_spec_draft_matches_greedy():
     s = pipe.generate(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=0,
                       spec_draft="int8")
     assert s.shape == ref.shape
+
+
+def test_pipeline_cross_size_draft():
+    """spec_draft='model': a structurally different (smaller) draft model
+    through the pipeline. top_k=1 collapses accept/reject to the exact
+    target greedy sequence for ANY draft."""
+    from controlar_tpu.config import GPTConfig, VQConfig
+    from controlar_tpu.models import vq as jvq, vit as jvit
+    from controlar_tpu.pipeline import ControlARPipeline
+
+    rng = jax.random.PRNGKey(0)
+    gpt_cfg = GPTConfig(model_type="c2i", dim=32, n_layer=2, n_head=2,
+                        cls_token_num=1, block_size=4, vocab_size=32,
+                        num_classes=5)
+    draft_cfg = GPTConfig(model_type="c2i", dim=16, n_layer=1, n_head=2,
+                          cls_token_num=1, block_size=4, vocab_size=32,
+                          num_classes=5)
+    vq_cfg = VQConfig(codebook_size=32, codebook_embed_dim=8, z_channels=8,
+                      ch=8)
+    ad_cfg = jvit.ViTConfig(hidden_size=384, n_layer=1, n_head=2,
+                            patch_size=14, pos_grid=2, layerscale=True)
+    pipe = ControlARPipeline(
+        gpt_cfg=gpt_cfg, gpt_params=jgpt.init_gpt_params(rng, gpt_cfg),
+        vq_cfg=vq_cfg, vq_params=jvq.init_vq_params(rng, vq_cfg),
+        adapter_cfg=ad_cfg, adapter_params=jvit.init_vit_params(rng, ad_cfg),
+        draft_gpt_cfg=draft_cfg,
+        draft_gpt_params=jgpt.init_gpt_params(jax.random.PRNGKey(9),
+                                              draft_cfg),
+    )
+    kw = dict(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=1,
+              temperature=1.0)
+    ref = pipe.generate(**kw, spec_draft=None)
+    a = pipe.generate(**kw, spec_draft="model")
+    b = pipe.generate(**kw, spec_draft="model-int8")
+    np.testing.assert_array_equal(a, ref)
+    np.testing.assert_array_equal(b, ref)
+    # sampling mode runs on the cross-size draft too
+    s = pipe.generate(labels=np.asarray([1, 2]), cfg_scale=2.0, top_k=0,
+                      spec_draft="model")
+    assert s.shape == ref.shape
