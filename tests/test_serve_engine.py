@@ -190,3 +190,40 @@ def test_engine_stacked_flash_kernels_slot_isolation():
     np.testing.assert_array_equal(solo[0].tokens, duo[0].tokens)
     # and the busy neighbor actually decoded something different
     assert not np.array_equal(duo[0].tokens, duo[1].tokens)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_engine_tp_sharded_matches_single_device():
+    """Multi-chip SERVING: the continuous-batching engine under a
+    (data, fsdp, tp) mesh with megatron-sharded params emits the exact
+    tokens of the single-device engine (GSPMD inserts the collectives in
+    the admission and quantum programs; the reference's vLLM TP worker
+    group never actually shards weights, serve/gpt_model.py:138-139)."""
+    from jax.sharding import NamedSharding
+    from controlar_tpu.parallel.mesh import make_mesh
+    from controlar_tpu.parallel.sharding import gpt_param_specs
+
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), CFG)
+    labels = [1, 5, 7]
+
+    def run(params, mesh=None):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_slots=2, quantum=5, greedy=True, top_k=0,
+                        cache_dtype=jnp.float32, use_flash=False),
+        )
+        reqs = [Request(request_id=i, label=l, cfg_scale=2.0)
+                for i, l in enumerate(labels)]
+        if mesh is None:
+            return eng.run(reqs)
+        with jax.set_mesh(mesh):
+            return eng.run(reqs)
+
+    want = run(params)
+    mesh = make_mesh(data=2, fsdp=2, tp=2)
+    specs = gpt_param_specs(CFG)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs)
+    got = run(sharded, mesh)
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
