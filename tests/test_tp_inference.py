@@ -55,3 +55,29 @@ def test_generate_tp_sharded_matches_single_device():
     with jax.set_mesh(mesh):
         got_q = np.asarray(jgen.generate(qp, cfg, **kw))
     np.testing.assert_array_equal(got_q, want_q)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 virtual devices")
+def test_generate_stacked_cache_tp_sharded_matches_single_device():
+    """The stacked (L, B, S, R) deferred-append cache under the same mesh:
+    GSPMD must propagate shardings through the stacked DUS and the in-flight
+    row math to the same tokens as the single-device stacked run."""
+    cfg = GPTConfig(
+        model_type="c2i", dim=64, n_layer=4, n_head=4, cls_token_num=1,
+        block_size=16, vocab_size=128, num_classes=10,
+    )
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    labels = jnp.arange(4)
+    kw = dict(labels=labels, max_new_tokens=cfg.block_size, cfg_scale=2.0,
+              sample_logits=False, rng=jax.random.PRNGKey(1), use_flash=False,
+              kv_stacked=True)
+
+    want = np.asarray(jgen.generate(params, cfg, **kw))
+    mesh = make_mesh(data=2, fsdp=2, tp=2)
+    specs = gpt_param_specs(cfg)
+    sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+    with jax.set_mesh(mesh):
+        got = np.asarray(jgen.generate(sharded, cfg, **kw))
+    np.testing.assert_array_equal(got, want)
