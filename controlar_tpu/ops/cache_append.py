@@ -171,7 +171,7 @@ def _stacked_kernel(pos_ref, rows_ref, cache_hbm, cache_out, buf, sem,
     rd.wait()
     hd = buf.shape[-1]
     sel = jax.lax.broadcasted_iota(jnp.int32, (window, hd), 0) == r
-    buf[:] = jnp.where(sel, rows_ref[0], buf[:])
+    buf[:] = jnp.where(sel, rows_ref[0, 0], buf[:])
     wr = pltpu.make_async_copy(
         buf, cache_out.at[lyr, b, pl.ds(aligned, window), :], sem
     )
@@ -205,7 +205,9 @@ def cache_append_rows_stacked(
             num_scalar_prefetch=1,
             grid=(nl, b),
             in_specs=[
-                pl.BlockSpec((1, 1, hd), lambda i, j, *_: (i, j, 0),
+                # rows reshaped (L, B, 1, HD) so the block's trailing two
+                # dims equal the array's (Mosaic block-shape rule)
+                pl.BlockSpec((1, 1, 1, hd), lambda i, j, *_: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.HBM),
             ],
@@ -222,7 +224,7 @@ def cache_append_rows_stacked(
         interpret=INTERPRET if interpret is None else interpret,
     )(
         pos.astype(jnp.int32),
-        rows.astype(cache.dtype),
+        rows.astype(cache.dtype).reshape(nl, b, 1, hd),
         cache,
     )
     return out

@@ -484,7 +484,8 @@ def _kernel_q4s(sc_ref, qe_ref, qo_ref, ncn_ref, sn_ref, kv_hbm, sc_hbm,
         snf = _sel_row(sn_ref, b)
         ks_n = snf[:n_head][None]
         vs_n = snf[n_head: 2 * n_head][None]
-        kci = ncf[None, :w].astype(jnp.int32)      # (1, w)
+        # slice-then-expand (ncf[None, :w] lowers to an unsupported gather)
+        kci = ncf[:w][None].astype(jnp.int32)      # (1, w)
         k_lo = ((kci << 28) >> 28).astype(jnp.float32)
         k_hi = (kci >> 4).astype(jnp.float32)
         qe_f = _sel_row(qe_ref, b)[None]
@@ -500,7 +501,7 @@ def _kernel_q4s(sc_ref, qe_ref, qo_ref, ncn_ref, sn_ref, kv_hbm, sc_hbm,
                           preferred_element_type=jnp.float32)
         pv_e = jnp.dot((p_new * vs_n).astype(jnp.bfloat16), exp_mask,
                        preferred_element_type=jnp.float32)  # (1, w)
-        vci = ncf[None, w:].astype(jnp.int32)
+        vci = ncf[w:][None].astype(jnp.int32)
         v_lo = ((vci << 28) >> 28).astype(jnp.float32)
         v_hi = (vci >> 4).astype(jnp.float32)
         term = jnp.concatenate([pv_e * v_lo, pv_e * v_hi], axis=1)

@@ -288,8 +288,11 @@ def _w4_ffn_kernel(x_ref, q13_hbm, s13_ref, q2_hbm, s2_ref, o_ref,
         acc13 = acc13 + _tail_lo_dot(p, buf13[p % nslot13][:], x_ref,
                                      s13_ref, group)
 
-    # ---- gate (matches decode.ffn numerics: bf16 halves, bf16 silu*mul)
-    y = acc13.astype(jnp.bfloat16)
+    # ---- gate: round the accumulator halves to bf16 (matching the
+    # unfused path's wdot output dtype), then silu*mul in f32 — Mosaic's
+    # bf16 logistic lowering trips a broadcast verifier, and the f32 math
+    # is within the quantized path's tolerance of XLA's bf16 silu
+    y = acc13.astype(jnp.bfloat16).astype(jnp.float32)
     h1 = y[:, :f]
     h3 = y[:, f:]
     zbuf[:] = (h1 * jax.nn.sigmoid(h1) * h3).astype(jnp.bfloat16)

@@ -1,0 +1,84 @@
+"""Client-side TPU (Mosaic) lowering of every new Pallas kernel.
+
+Interpret mode hides Mosaic trace-time restrictions (gather support, block
+shape divisibility, dtype verifier rules); `.lower(lowering_platforms=
+("tpu",))` runs the Pallas->Mosaic lowering on CPU without a TPU backend
+and catches them. This gate found three real bugs on first run (a 1D
+mixed-index gather in the q4 in-flight unpack, a (1,1,hd) block violating
+the trailing-dims rule, and a bf16-logistic broadcast verifier trip).
+Compile-server-side failures (layout/alignment) can still only surface on
+hardware, but everything trace-level is pinned here.
+"""
+import jax
+import jax.numpy as jnp
+import pytest
+
+from controlar_tpu.ops import flash_decode_stacked as fds
+from controlar_tpu.ops.cache_append import cache_append_rows_stacked
+from controlar_tpu.ops.w4_matmul import (
+    quantize_weight_w4, w4_ffn, w4_matmul)
+from controlar_tpu.quant import kv4_row_width
+
+L, B, H, D, S = 2, 4, 4, 64, 256
+HD = H * D
+SP = 128
+
+
+def _lowers(fn, *args):
+    jax.jit(fn).trace(*args).lower(lowering_platforms=("tpu",))
+
+
+def test_stacked_kernels_lower_for_tpu():
+    q = jnp.zeros((B, HD), jnp.bfloat16)
+    stack = jnp.zeros((L, B, S, 2 * HD), jnp.bfloat16)
+    cb = jnp.zeros((B, S), jnp.float32)
+    _lowers(lambda a, b, c: fds.flash_stacked(
+        a, b, c, jnp.int32(1), jnp.int32(5), None, n_head=H),
+        q, jnp.zeros((B, 2 * HD), jnp.bfloat16), stack)
+    _lowers(lambda a, b, c, d: fds.flash_stacked(
+        a, b, c, jnp.int32(1), jnp.int32(5), d, n_head=H),
+        q, jnp.zeros((B, 2 * HD), jnp.bfloat16), stack, cb)
+
+    kv8 = jnp.zeros((L, B, S, 2 * HD), jnp.int8)
+    sc = jnp.zeros((L, B, S, SP), jnp.float32)
+    nk8 = jnp.zeros((B, 2 * HD), jnp.int8)
+    ns = jnp.zeros((B, SP), jnp.float32)
+    pos_v = jnp.asarray([1] * B, jnp.int32)  # per-slot vector
+    _lowers(lambda a, b, c, d, e: fds.flash_stacked_q8(
+        a, b, c, d, e, jnp.int32(0), pos_v, None, n_head=H),
+        q, nk8, ns, kv8, sc)
+
+    w = kv4_row_width(H, D)
+    kv4 = jnp.zeros((L, B, S, 2 * w), jnp.int8)
+    nc = jnp.zeros((B, 2 * w), jnp.int8)
+    for split in (False, True):
+        _lowers(lambda a, b, c, d, e: fds.flash_stacked_q4(
+            a, b, c, d, e, jnp.int32(0), jnp.int32(7), None,
+            n_head=H, head_dim=D, split=split),
+            q, nc, ns, kv4, sc)
+
+
+def test_stacked_append_kernel_lowers_for_tpu():
+    kv8 = jnp.zeros((L, B, S, 2 * HD), jnp.int8)
+    rows = jnp.zeros((L, B, 2 * HD), jnp.int8)
+    pos = jnp.asarray([1] * B, jnp.int32)
+    _lowers(lambda a, b, c: cache_append_rows_stacked(a, b, c),
+            kv8, rows, pos)
+    scs = jnp.zeros((L, B, S, SP), jnp.float32)
+    rows_s = jnp.zeros((L, B, SP), jnp.float32)
+    _lowers(lambda a, b, c: cache_append_rows_stacked(a, b, c),
+            scs, rows_s, pos)
+
+
+@pytest.mark.parametrize("k,f,n", [(256, 512, 256), (384, 384, 128)])
+def test_w4_ffn_lowers_for_tpu(k, f, n):
+    x = jnp.zeros((8, k), jnp.bfloat16)
+    q13 = quantize_weight_w4(jnp.zeros((k, 2 * f)))
+    q2 = quantize_weight_w4(jnp.zeros((f, n)))
+    _lowers(lambda a: w4_ffn(a, q13["q4"], q13["s"], q2["q4"], q2["s"]), x)
+
+
+def test_w4_matmul_chunk0_split_lowers_for_tpu():
+    qw = quantize_weight_w4(jnp.zeros((3200, 768)))
+    x = jnp.zeros((16, 3200), jnp.bfloat16)
+    _lowers(lambda a: w4_matmul(a, qw["q4"], qw["s"]), x)
