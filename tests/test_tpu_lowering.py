@@ -82,3 +82,56 @@ def test_w4_matmul_chunk0_split_lowers_for_tpu():
     qw = quantize_weight_w4(jnp.zeros((3200, 768)))
     x = jnp.zeros((16, 3200), jnp.bfloat16)
     _lowers(lambda a: w4_matmul(a, qw["q4"], qw["s"]), x)
+
+
+def test_full_generate_programs_lower_for_tpu():
+    """The complete jitted decode programs at every serving configuration
+    (bf16, int8+kv8, W4+split-rope+kv4+fused-FFN; per-layer and stacked;
+    flash on) lower for TPU end to end — the exact compositions the bench
+    sweep compiles on hardware."""
+    from controlar_tpu import decode as dec
+    from controlar_tpu import generate as jgen
+    from controlar_tpu import quant
+    from controlar_tpu.config import GPTConfig
+    from controlar_tpu.models import gpt as jgpt
+
+    cfg = GPTConfig(model_type="c2i", dim=256, n_layer=2, n_head=2,
+                    cls_token_num=1, block_size=16, vocab_size=256,
+                    num_classes=10)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    labels = jnp.arange(4)
+
+    def trace(params, cache_dtype, kv_stacked, expect_kernels=()):
+        kw = dict(cfg=cfg, max_new_tokens=cfg.block_size, cfg_scale=4.0,
+                  temperature=1.0, top_k=16, top_p=1.0, sample_logits=True,
+                  cache_dtype=cache_dtype, use_flash=True,
+                  kv_stacked=kv_stacked)
+        prefix = jgpt.embed_prefix_c2i(
+            params, jnp.concatenate([labels, labels]))
+        lowered = jgen.generate_tokens.trace(
+            dec.unstack_layers(params), prefix_emb=prefix, fused3=None,
+            col_mask=None, rng=jax.random.PRNGKey(0),
+            control_strength=jnp.float32(1.0), **kw,
+        ).lower(lowering_platforms=("tpu",))
+        txt = lowered.as_text()
+        for name in expect_kernels:
+            assert name in txt, f"{name} kernel missing from the program"
+
+    for stacked in (False, True):
+        trace(params, jnp.bfloat16, stacked)
+        trace(quant.quantize_gpt_params(params), jnp.int8, stacked)
+        # the full 3B serving point: W4 weights (fused w13 + fused FFN +
+        # chunk-0 split), split-rope layout, int4 KV cache. wdot/ffn route
+        # to the Pallas kernels only when the default backend reads "tpu",
+        # so patch it for the trace — otherwise this lowers the dequant
+        # fallback instead of the real serving program.
+        w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params),
+                                           cfg=cfg)
+        real_backend = jax.default_backend
+        jax.default_backend = lambda: "tpu"
+        try:
+            trace(w4p, jnp.int4, stacked,
+                  expect_kernels=("_w4_ffn_kernel", "_w4_kernel")
+                  + (("_kernel_q4s",) if stacked else ("_kernel_q4",)))
+        finally:
+            jax.default_backend = real_backend
