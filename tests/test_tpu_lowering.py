@@ -135,3 +135,40 @@ def test_full_generate_programs_lower_for_tpu():
                   + (("_kernel_q4s",) if stacked else ("_kernel_q4",)))
         finally:
             jax.default_backend = real_backend
+
+
+@pytest.mark.parametrize("stacked", [False, True])
+def test_serve_quantum_and_admission_lower_for_tpu(stacked):
+    """The serving engine's two compiled programs (group admission and the
+    fixed-quantum decode scan) lower for TPU with flash kernels on, in both
+    cache layouts — the composition bench_serve compiles on hardware."""
+    import numpy as np
+    from controlar_tpu.config import GPTConfig
+    from controlar_tpu.models import gpt as jgpt
+    from controlar_tpu.serve.engine import ServeConfig, ServeEngine
+
+    cfg = GPTConfig(model_type="c2i", dim=256, n_layer=2, n_head=2,
+                    cls_token_num=1, block_size=16, vocab_size=256,
+                    num_classes=10)
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    eng = ServeEngine(params, cfg, ServeConfig(
+        max_slots=2, quantum=4, cache_dtype=jnp.int8, use_flash=True,
+        kv_stacked=stacked))
+
+    n = 2
+    eng._quantum_jit.trace(
+        eng, eng.caches, eng.fused, eng.pos, eng.cur_tok, eng.cfg_scales,
+        eng.strengths, jnp.ones((2 * n,), bool), eng.seeds, eng.col_mask,
+    ).lower(lowering_platforms=("tpu",))
+
+    k = 2
+    eng._admit_group_jit.trace(
+        eng, eng.caches, eng.fused, eng.pos, eng.cur_tok, eng.col_mask,
+        eng.cfg_scales, eng.strengths, eng.seeds,
+        jnp.asarray([1, 2], jnp.int32),
+        jnp.zeros((k, cfg.block_size, cfg.adapter_dim), jnp.float32),
+        jnp.ones((k, cfg.cls_token_num), bool),
+        jnp.asarray([0, 1], jnp.int32),
+        jnp.ones((k,), jnp.float32), jnp.ones((k,), jnp.float32),
+        jnp.zeros((k,), jnp.uint32),
+    ).lower(lowering_platforms=("tpu",))
