@@ -142,7 +142,6 @@ def test_serve_quantum_and_admission_lower_for_tpu(stacked):
     """The serving engine's two compiled programs (group admission and the
     fixed-quantum decode scan) lower for TPU with flash kernels on, in both
     cache layouts — the composition bench_serve compiles on hardware."""
-    import numpy as np
     from controlar_tpu.config import GPTConfig
     from controlar_tpu.models import gpt as jgpt
     from controlar_tpu.serve.engine import ServeConfig, ServeEngine
