@@ -16,6 +16,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from controlar_tpu.ops.w4_matmul import unpack_nibbles
+
 DEFAULT_BLOCK = 256
 
 
@@ -653,9 +655,8 @@ def _kernel_q4(pos_ref, qe_ref, qo_ref, kv_hbm, sc_hbm, bias_ref, o_ref,
             get_dma(slot, b, i).wait()
             get_sc_dma(slot, b, i).wait()
 
-            kc = kvbuf[slot][:, :w].astype(jnp.int32)
-            k_lo = ((kc << 28) >> 28).astype(jnp.bfloat16)
-            k_hi = (kc >> 4).astype(jnp.bfloat16)
+            k_lo, k_hi = unpack_nibbles(kvbuf[slot][:, :w],
+                                        jnp.bfloat16)
             ks = scbuf[slot][:, :n_head]
             vs = scbuf[slot][:, n_head: 2 * n_head]
             s = (jnp.dot(k_lo, qe_bd, preferred_element_type=jnp.float32)
@@ -677,9 +678,8 @@ def _kernel_q4(pos_ref, qe_ref, qo_ref, kv_hbm, sc_hbm, bias_ref, o_ref,
             l_new = l * alpha + jnp.sum(p, axis=0, keepdims=True)
             p2_e = jnp.dot((p * vs).astype(jnp.bfloat16), exp_mask,
                            preferred_element_type=jnp.float32)  # (block, w)
-            vc = kvbuf[slot][:, w: 2 * w].astype(jnp.int32)
-            v_lo = ((vc << 28) >> 28).astype(jnp.float32)
-            v_hi = (vc >> 4).astype(jnp.float32)
+            v_lo, v_hi = unpack_nibbles(kvbuf[slot][:, w: 2 * w],
+                                        jnp.float32)
             t_even = jnp.sum(p2_e * v_lo, axis=0, keepdims=True)
             t_odd = jnp.sum(p2_e * v_hi, axis=0, keepdims=True)
             term = jnp.concatenate([t_even, t_odd], axis=1)  # (1, 2w)

@@ -38,6 +38,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 128  # default quantization group size along K (rows per scale)
 
+# A/B switch (env CONTROLAR_UNPACK_I8=1): unpack nibbles with int8-domain
+# shifts instead of widening to int32 first. Bit-identical (interpret-
+# verified); if Mosaic vectorizes int8 ALU ops at packed width it is up to
+# 4x fewer VPU cycles — the q4 attention path is VPU-unpack-bound.
+import os as _os
+
+UNPACK_I8 = _os.environ.get("CONTROLAR_UNPACK_I8") == "1"
+
+
+def unpack_nibbles(c, lo_dtype, hi_dtype=None):
+    """int8 carriers -> (lo, hi) sign-extended nibble planes."""
+    hi_dtype = hi_dtype or lo_dtype
+    if UNPACK_I8:
+        return (((c << 4) >> 4).astype(lo_dtype), (c >> 4).astype(hi_dtype))
+    ci = c.astype(jnp.int32)
+    return (((ci << 28) >> 28).astype(lo_dtype), (ci >> 4).astype(hi_dtype))
+
 
 def _pad_to(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -108,9 +125,7 @@ def _dual_plane_dots(p, carrier, x_ref, s_ref, group, cols=None):
     dots (MXU), scaled per plane. Planes 2p / 2p+1 read x columns
     [2p*G, (2p+1)*G) / [(2p+1)*G, ...). Shared by _w4_kernel and
     _w4_ffn_kernel so the unpack/addressing math has one home."""
-    c = carrier.astype(jnp.int32)
-    lo = ((c << 28) >> 28).astype(jnp.bfloat16)
-    hi = (c >> 4).astype(jnp.bfloat16)
+    lo, hi = unpack_nibbles(carrier, jnp.bfloat16)
     csl = slice(None) if cols is None else pl.ds(*cols)
     sl = s_ref[pl.ds(2 * p, 1), csl].astype(jnp.float32)
     sh = s_ref[pl.ds(2 * p + 1, 1), csl].astype(jnp.float32)
@@ -124,8 +139,7 @@ def _dual_plane_dots(p, carrier, x_ref, s_ref, group, cols=None):
 def _tail_lo_dot(p, carrier, x_ref, s_ref, group):
     """Peeled odd-plane tail: chunk p's lo plane is the last real one; the
     hi plane is zero-quantized padding whose dot is skipped entirely."""
-    c = carrier.astype(jnp.int32)
-    lo = ((c << 28) >> 28).astype(jnp.bfloat16)
+    lo, _ = unpack_nibbles(carrier, jnp.bfloat16)
     sl = s_ref[pl.ds(2 * p, 1), :].astype(jnp.float32)
     xl = x_ref[:, pl.ds(2 * p * group, group)]
     return jnp.dot(xl, lo, preferred_element_type=jnp.float32) * sl

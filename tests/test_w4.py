@@ -185,3 +185,27 @@ def test_w4_ffn_odd_plane_counts():
         x, q13["q4"], q13["s"], q2["q4"], q2["s"],
         out_dtype=jnp.float32, interpret=True))
     np.testing.assert_allclose(got, want, rtol=4e-2, atol=4e-2)
+
+
+def test_unpack_i8_mode_bit_identical():
+    """CONTROLAR_UNPACK_I8 mode (int8-domain nibble shifts) must produce
+    bit-identical kernel output to the default int32-domain unpack.
+    Unique shapes so the jit cache cannot serve stale-flag compilations."""
+    from controlar_tpu.ops import w4_matmul as wm
+
+    rng = np.random.default_rng(11)
+    b, k, n = 4, 1024, 896  # shape used only by this test
+    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32) * 0.1,
+                    dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    qw = quantize_weight_w4(w)
+    base = np.asarray(wm.w4_matmul(x, qw["q4"], qw["s"],
+                                   out_dtype=jnp.float32, interpret=True))
+    old = wm.UNPACK_I8
+    wm.UNPACK_I8 = True
+    try:
+        alt = np.asarray(wm.w4_matmul(x[:, :k], qw["q4"][:, :n], qw["s"],
+                                      out_dtype=jnp.float32, interpret=True))
+    finally:
+        wm.UNPACK_I8 = old
+    np.testing.assert_array_equal(alt, base)
