@@ -102,8 +102,12 @@ def main():
                     help="stacked deferred-append KV cache (A/B run)")
     ap.add_argument("--sizes", default=None,
                     help="comma list of sizes (A/B run)")
+    ap.add_argument("--modes", default="bf16,int8,w4",
+                    help="comma subset of bf16,int8,w4 (A/B run)")
     args = ap.parse_args()
-    ab_run = args.stacked or args.sizes is not None
+    modes = args.modes.split(",")
+    ab_run = (args.stacked or args.sizes is not None
+              or args.modes != "bf16,int8,w4")
     sizes = (dict(BASELINES) if args.sizes is None else
              {s: BASELINES[s] for s in args.sizes.split(",")})
 
@@ -139,21 +143,22 @@ def main():
             return min(times)
 
         params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        # pre-unstack and drop the stacked copy (halves weight HBM for 3B)
-        pu = dec.unstack_layers(params)
-        best = timed(pu)
-        del pu
-        dec._UNSTACK_CACHE.clear()
+        best = best8 = best4 = None
+        if "bf16" in modes:
+            # pre-unstack and drop the stacked copy (halves weight HBM for 3B)
+            pu = dec.unstack_layers(params)
+            best = timed(pu)
+            del pu
+            dec._UNSTACK_CACHE.clear()
 
-        best8 = best4 = None
-        if size in INT8_SIZES:
+        if "int8" in modes and size in INT8_SIZES:
             qp = quant.quantize_gpt_params(params)
             qp = dec.unstack_layers(qp)
             # full quantized serving config: int8 weights + int8 KV cache
             best8 = timed(qp, cache_dtype=jnp.int8)
             del qp
             dec._UNSTACK_CACHE.clear()
-        if size in W4_SIZES:
+        if "w4" in modes and size in W4_SIZES:
             # W4A16 weights (int4 group-128 Pallas kernel) + int8 KV cache
             w4p = quant.quantize_gpt_params_w4(dec.unstack_layers(params),
                                                cfg=cfg)
@@ -162,13 +167,14 @@ def main():
             del w4p
         del params
 
-        rows.append((size, eager, vllm, best, vllm / best, best8,
+        rows.append((size, eager, vllm, best,
+                     (vllm / best) if best else None, best8,
                      (vllm / best8) if best8 else None, best4,
                      (vllm / best4) if best4 else None))
+        bf = f"bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)" if best else ""
         i8 = f", int8 {best8:.3f}s ({vllm/best8:.2f}x)" if best8 else ""
         w4 = f", w4 {best4:.3f}s ({vllm/best4:.2f}x)" if best4 else ""
-        print(f"{size}: bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)"
-              f"{i8}{w4}", flush=True)
+        print(f"{size}: {bf}{i8}{w4}", flush=True)
 
     if ab_run:
         print(json.dumps([
