@@ -34,13 +34,22 @@ Notes:
   (cache_dtype=jnp.int8: per-head scales, Pallas q8 flash kernel with a
   parallel scale stream).
 - The W4 column is the max-throughput serving point: int4 group-128 weights
-  through the manual-DMA Pallas dequant-matmul (ops/w4_matmul.py, 28.7 us
+  through the manual-DMA Pallas dequant-matmul (ops/w4_matmul.py, 27.5 us
   vs 43.9 us W8A16 for a 3B FFN weight; w1|w3 fused into one stream) plus
   the int4 KV cache (cache_dtype=jnp.int4, nibble-packed rows, q4 flash
   kernel). It pays only where the weight stream dominates: GPT-3B (24 wide
-  layers) gets 6.26 s (ref A100) -> 4.03 s int8 -> 3.27 s W4+KV4; at
-  XL/XXL the per-call fixed costs and the KV4 VPU unpack outweigh the byte
-  savings (int8 stays faster there) - pick the mode per size.
+  layers) gets 6.26 s (ref A100) -> 4.02 s int8 -> 3.08 s W4+KV4 (2.03x,
+  clearing BASELINE.md's 2x single-chip bar); at XL/XXL the per-call fixed
+  costs and the KV4 VPU unpack outweigh the byte savings (int8 stays
+  faster there) - pick the mode per size.
+- The stacked deferred-append KV cache (kv_stacked=True: one (L,B,S,R)
+  slab per k/v, appends batched across layers, 2 dynamic-update-slices per
+  step instead of 2 per layer) measured NEUTRAL on the real chip: GPT-B
+  bf16 0.444 s vs 0.416 s per-layer, int8 0.396 s vs 0.404 s; GPT-3B w4
+  3.129 s vs 3.079 s per-layer. XLA already overlaps the per-layer DUS
+  with compute, so the dispatch saving buys nothing single-chip; per-layer
+  stays the default, stacked remains an A/B flag
+  (scripts/bench_sweep.py --stacked, ServeConfig.kv_stacked).
 - Quantization quality is MEASURED, not assumed: eval/quant_report.py
   (CLI `quant-report`, and verify-zoo --quant-report for real weights)
   reports teacher-forced token agreement / logit error / prefix survival
@@ -53,7 +62,7 @@ Notes:
   3.36 GB x 576 steps = 1.93 TB; finishing in 3.13 s would need 0.62 TB/s
   for weights ALONE, against ~0.70 TB/s measured ceiling with the KV read
   still to serve - quality-preserving int8 cannot reach 2x on one v5e's
-  0.82 TB/s HBM; W4 exists for exactly this regime (1.92x measured).
+  0.82 TB/s HBM; W4 exists for exactly this regime (2.03x measured).
 - Speculative multi-token decode (spec_decode.py): draft k tokens with any
   cheaper model, verify in ONE k-position chunk forward; greedy output
   provably equals vanilla decode for ANY draft (CPU suite, bit-for-bit;
