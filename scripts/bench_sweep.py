@@ -6,6 +6,7 @@ HBM-bound larger models. Writes PERFORMANCE.md. Run: python scripts/bench_sweep.
 A/B switches (these do NOT overwrite PERFORMANCE.md/BENCH_SWEEP.json):
   --stacked        use the stacked (L,B,S,R) deferred-append KV cache
   --sizes GPT-3B   comma list, subset of the sweep
+  --modes w4       comma subset of bf16,int8,w4
 """
 import argparse
 import json
@@ -38,7 +39,7 @@ Notes:
   vs 43.9 us W8A16 for a 3B FFN weight; w1|w3 fused into one stream) plus
   the int4 KV cache (cache_dtype=jnp.int4, nibble-packed rows, q4 flash
   kernel). It pays only where the weight stream dominates: GPT-3B (24 wide
-  layers) gets 6.26 s (ref A100) -> 4.02 s int8 -> 3.08 s W4+KV4 (2.03x,
+  layers) gets 6.26 s (ref A100) -> 4.04 s int8 -> 3.074 s W4+KV4 (2.04x,
   clearing BASELINE.md's 2x single-chip bar); at XL/XXL the per-call fixed
   costs and the KV4 VPU unpack outweigh the byte savings (int8 stays
   faster there) - pick the mode per size.
@@ -62,7 +63,7 @@ Notes:
   3.36 GB x 576 steps = 1.93 TB; finishing in 3.13 s would need 0.62 TB/s
   for weights ALONE, against ~0.70 TB/s measured ceiling with the KV read
   still to serve - quality-preserving int8 cannot reach 2x on one v5e's
-  0.82 TB/s HBM; W4 exists for exactly this regime (2.03x measured).
+  0.82 TB/s HBM; W4 exists for exactly this regime (2.04x measured).
 - Speculative multi-token decode (spec_decode.py): draft k tokens with any
   cheaper model, verify in ONE k-position chunk forward; greedy output
   provably equals vanilla decode for ANY draft (CPU suite, bit-for-bit;
@@ -114,9 +115,16 @@ def main():
     ap.add_argument("--modes", default="bf16,int8,w4",
                     help="comma subset of bf16,int8,w4 (A/B run)")
     args = ap.parse_args()
-    modes = args.modes.split(",")
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+    bad = [m for m in modes if m not in ("bf16", "int8", "w4")]
+    if bad or not modes:
+        ap.error(f"--modes must be a comma subset of bf16,int8,w4 (got {args.modes!r})")
     ab_run = (args.stacked or args.sizes is not None
-              or args.modes != "bf16,int8,w4")
+              or set(modes) != {"bf16", "int8", "w4"})
+    if args.sizes is not None:
+        unknown = [s for s in args.sizes.split(",") if s not in BASELINES]
+        if unknown:
+            ap.error(f"--sizes unknown: {unknown}; options {sorted(BASELINES)}")
     sizes = (dict(BASELINES) if args.sizes is None else
              {s: BASELINES[s] for s in args.sizes.split(",")})
 
@@ -180,10 +188,14 @@ def main():
                      (vllm / best) if best else None, best8,
                      (vllm / best8) if best8 else None, best4,
                      (vllm / best4) if best4 else None))
-        bf = f"bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)" if best else ""
-        i8 = f", int8 {best8:.3f}s ({vllm/best8:.2f}x)" if best8 else ""
-        w4 = f", w4 {best4:.3f}s ({vllm/best4:.2f}x)" if best4 else ""
-        print(f"{size}: {bf}{i8}{w4}", flush=True)
+        parts = []
+        if best:
+            parts.append(f"bf16 {best:.3f}s ({vllm/best:.2f}x vs vLLM A100)")
+        if best8:
+            parts.append(f"int8 {best8:.3f}s ({vllm/best8:.2f}x)")
+        if best4:
+            parts.append(f"w4 {best4:.3f}s ({vllm/best4:.2f}x)")
+        print(f"{size}: {', '.join(parts)}", flush=True)
 
     if ab_run:
         print(json.dumps([
