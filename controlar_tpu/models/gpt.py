@@ -206,7 +206,8 @@ def _attend_full(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray],
 ) -> jnp.ndarray:
-    """Full-sequence attention. q: (B,T,H,D), k/v: (B,S,KV,D).
+    """Full-sequence attention, materialized scores (the PARITY path — kept
+    for tests and arbitrary masks). q: (B,T,H,D), k/v: (B,S,KV,D).
     mask: broadcastable boolean (B,1,T,S) or None for causal-within-T.
     Scores accumulate in fp32 (MXU), softmax in fp32."""
     b, t, nh, hd = q.shape
@@ -227,6 +228,31 @@ def _attend_full(
     return out.astype(q.dtype).reshape(b, t, nh * hd)
 
 
+def _attend_blockwise(
+    cfg: GPTConfig,
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Flash training attention (ops/flash_train.py): online-softmax over
+    MXU-tiled blocks, never materializes (T,S) scores in forward or backward
+    (the TPU answer to the reference's F.scaled_dot_product_attention flash
+    path, ref gpt_t2i.py:282-286). Causal + optional per-key column mask
+    with the diagonal exception — exactly build_t2i_attn_mask's semantics."""
+    from controlar_tpu.ops.flash_train import flash_attention_train
+
+    b, t, nh, hd = q.shape
+    if cfg.kv_heads != nh:
+        rep = nh // cfg.kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    if key_valid is not None:
+        key_valid = key_valid[:, :t]  # callers may pass the unsliced column mask
+    out = flash_attention_train(q, k, v, key_valid)
+    return out.reshape(b, t, nh * hd)
+
+
 def _dropout(rng: jax.Array, p: float, x: jnp.ndarray) -> jnp.ndarray:
     keep = jax.random.bernoulli(rng, 1.0 - p, x.shape)
     return jnp.where(keep, x / (1.0 - p), jnp.zeros_like(x))
@@ -242,6 +268,8 @@ def block_forward(
     pos: Optional[jnp.ndarray] = None,
     drop_rng: Optional[jax.Array] = None,
     drop_path_p: float | jnp.ndarray = 0.0,
+    key_valid: Optional[jnp.ndarray] = None,
+    attn_impl: str = "einsum",
 ) -> Tuple[jnp.ndarray, Optional[Tuple[jnp.ndarray, jnp.ndarray]]]:
     """One pre-norm block (ref TransformerBlock: gpt_t2i.py:294-307).
 
@@ -265,6 +293,9 @@ def block_forward(
         )
         attn = _attend_full(cfg, q, k_cache, v_cache, mask)
         new_cache = (k_cache, v_cache)
+    elif attn_impl == "blockwise":
+        attn = _attend_blockwise(cfg, q, k, v, key_valid)
+        new_cache = None
     else:
         attn = _attend_full(cfg, q, k, v, mask)
         new_cache = None
@@ -306,6 +337,8 @@ def _scan_layers(
     unroll: int = 1,
     drop_rng: Optional[jax.Array] = None,
     remat: bool = False,
+    key_valid: Optional[jnp.ndarray] = None,
+    attn_impl: str = "einsum",
 ):
     """Run the layer stack under lax.scan (the TRAINING path; inference
     lives in decode.py with per-layer unrolling and flat caches).
@@ -330,7 +363,8 @@ def _scan_layers(
         # stochastic depth: linearly spaced per-layer rate (ref gpt_t2i.py:347)
         dp = cfg.drop_path_rate * lid / max(cfg.n_layer - 1, 1)
         h, _ = block_forward(
-            lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l, drop_path_p=dp
+            lp, cfg, h, rope_slice, mask, None, None, drop_rng=rng_l,
+            drop_path_p=dp, key_valid=key_valid, attn_impl=attn_impl,
         )
         return h, None
 
@@ -367,13 +401,22 @@ def forward_train(
     rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     remat_policy: str = "full",
+    key_valid: Optional[jnp.ndarray] = None,
+    attn_impl: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Teacher-forced forward (ref gpt_t2i.py:420-481, training branch).
 
     prefix_emb: (B, cls_token_num, dim) already-embedded class/caption prefix.
     idx: (B, T_img - 1) ground-truth image tokens (z[:, :-1]).
     cond_tokens: (B, block_size, dim) output of `control_tokens` (post CFG-drop).
-    mask: optional boolean (B, 1, T, T) attention mask (True = attend).
+    mask: optional boolean (B, 1, T, T) attention mask (True = attend) —
+      forces the materialized einsum path (arbitrary masks only there).
+    key_valid: optional (B, T) bool per-key column mask — the compact form of
+      the t2i emb mask (causal & (key_valid | diagonal)); works with BOTH
+      attention implementations and is what the trainers pass.
+    attn_impl: 'blockwise' (flash, O(T*block) memory — the training default),
+      'einsum' (materialized (T,S) scores — the parity path), or None for
+      auto: einsum when an explicit `mask` is given, else blockwise.
     targets: (B, T_img) for the CE loss; valid: (B,) 0/1 sample mask.
 
     Dropout: token/ffn/resid dropout are applied when deterministic=False
@@ -402,6 +445,27 @@ def forward_train(
         )
         h = jnp.where(keep, h / (1.0 - cfg.token_dropout_p), 0.0)
 
+    if attn_impl is None:
+        # an explicit dense mask can only run through the einsum path; the
+        # trainers pass the compact key_valid and get flash attention.
+        # CONTROLAR_TRAIN_ATTN=einsum is the A/B escape hatch.
+        import os
+
+        attn_impl = "einsum" if mask is not None else os.environ.get(
+            "CONTROLAR_TRAIN_ATTN", "blockwise")
+    if attn_impl == "blockwise" and mask is not None:
+        raise ValueError(
+            "attn_impl='blockwise' expresses masks via key_valid (B, T); "
+            "pass key_valid instead of a materialized mask")
+    if attn_impl == "einsum" and mask is None and key_valid is not None:
+        # materialize causal & (key_valid | diag) — identical semantics to
+        # the blockwise path, for parity tests and the A/B switch
+        rows = np.arange(t)[:, None]
+        cols = np.arange(t)[None, :]
+        causal = jnp.asarray(rows >= cols)
+        eye = jnp.asarray(rows == cols)
+        mask = (causal[None] & (key_valid[:, None, :t] | eye[None]))[:, None]
+
     rope = make_rope_table(cfg)[:t]
     cls = cfg.cls_token_num
 
@@ -420,6 +484,7 @@ def forward_train(
         drop_rng=layer_rng,
         remat=(remat_policy if remat_policy != "none" else False)
         if not deterministic else False,
+        key_valid=key_valid, attn_impl=attn_impl,
     )
     logits = _logits(params, cfg, h)
     logits = logits[:, cls - 1 :]

@@ -66,7 +66,9 @@ def build_t2i_attn_mask(emb_mask: jnp.ndarray, code_len: int) -> jnp.ndarray:
     """(B, T_cls) bool -> (B, 1, T-1, T-1) bool where T = T_cls + code_len.
 
     tril, prefix columns gated by emb_mask, diagonal restored, then sliced by
-    one (the model input drops the last token)."""
+    one (the model input drops the last token). This materialized form feeds
+    the einsum parity path only; training passes `t2i_key_valid` so flash
+    attention never builds a (T, T) tensor."""
     b, t_cls = emb_mask.shape
     t = t_cls + code_len
     rows = np.arange(t)[:, None]
@@ -78,6 +80,16 @@ def build_t2i_attn_mask(emb_mask: jnp.ndarray, code_len: int) -> jnp.ndarray:
     eye = jnp.asarray(rows == cols)
     m = causal[None] & (colmask[:, None, :] | eye[None])
     return m[:, None, : t - 1, : t - 1]
+
+
+def t2i_key_valid(emb_mask: jnp.ndarray, code_len: int) -> jnp.ndarray:
+    """Compact per-key column mask for the same semantics: (B, T-1) bool,
+    caption columns gated by emb_mask, image columns always valid. The model
+    applies causal & (key_valid | diagonal) — exactly build_t2i_attn_mask."""
+    b, t_cls = emb_mask.shape
+    return jnp.concatenate(
+        [emb_mask, jnp.ones((b, code_len - 1), dtype=bool)], axis=1
+    )
 
 
 def make_control_train_step(
@@ -113,7 +125,7 @@ def make_control_train_step(
         )
         cond_tokens = gpt_model.control_tokens(gp, gpt_cfg, feats, drop_ids)
 
-        mask = None
+        key_valid = None
         if gpt_cfg.model_type == "c2i":
             labels = jnp.where(drop_ids, gpt_cfg.num_classes, batch["labels"])
             prefix = gpt_model.embed_prefix_c2i(gp, labels)
@@ -122,7 +134,7 @@ def make_control_train_step(
             uncond = gp["cls_embedding"]["uncond_embedding"].astype(compute_dtype)
             cap = jnp.where(drop_ids[:, None, None], uncond[None, : cap.shape[1]], cap)
             prefix = gpt_model.embed_prefix_t2i(gp, cap)[:, : gpt_cfg.cls_token_num]
-            mask = build_t2i_attn_mask(batch["emb_mask"], tokens.shape[1])
+            key_valid = t2i_key_valid(batch["emb_mask"], tokens.shape[1])
 
         _, loss = gpt_model.forward_train(
             gp,
@@ -130,7 +142,7 @@ def make_control_train_step(
             prefix.astype(compute_dtype),
             tokens[:, :-1],
             cond_tokens=cond_tokens,
-            mask=mask,
+            key_valid=key_valid,
             targets=tokens,
             valid=batch.get("valid"),
             rng=model_rng,

@@ -27,8 +27,8 @@ from controlar_tpu.models import vit as vit_model
 from controlar_tpu.models import vq as vq_model
 from controlar_tpu.ops.resize import to_patch14
 from controlar_tpu.train.control_step import (
-    build_t2i_attn_mask,
     extract_condition_on_device,
+    t2i_key_valid,
 )
 from controlar_tpu.train.optimizer import update_ema, zero_frozen_grads
 from controlar_tpu.train.step import TrainState, _cast_bf16
@@ -94,11 +94,11 @@ def make_multiscale_train_step(
         uncond = gp["cls_embedding"]["uncond_embedding"].astype(compute_dtype)
         cap = jnp.where(drop_ids[:, None, None], uncond[None, : cap.shape[1]], cap)
         prefix = gpt_model.embed_prefix_t2i(gp, cap)[:, : cfg.cls_token_num]
-        mask = build_t2i_attn_mask(batch["emb_mask"], tokens.shape[1])
+        key_valid = t2i_key_valid(batch["emb_mask"], tokens.shape[1])
 
         _, loss = gpt_model.forward_train(
             gp, cfg, prefix.astype(compute_dtype), tokens[:, :-1],
-            cond_tokens=cond_tokens, mask=mask, targets=tokens,
+            cond_tokens=cond_tokens, key_valid=key_valid, targets=tokens,
             valid=batch.get("valid"), rng=model_rng, deterministic=False,
         )
         return loss

@@ -68,7 +68,8 @@ def make_train_step(
       c2i: labels (B,)           t2i: caption_emb (B, T_cls, caption_dim)
       tokens (B, block_size) ground-truth VQ codes
       adapter_features (B, block_size, adapter_dim) or absent (no control)
-      attn_mask (B, 1, T, T) bool or absent
+      attn_mask (B, 1, T, T) bool (einsum path) or key_valid (B, T) bool
+      (flash path) or absent
       valid (B,) float or absent
     """
 
@@ -106,6 +107,7 @@ def make_train_step(
             tokens[:, :-1],
             cond_tokens=cond_tokens,
             mask=batch.get("attn_mask"),
+            key_valid=batch.get("key_valid"),
             targets=tokens,
             valid=batch.get("valid"),
             rng=model_rng,
