@@ -202,6 +202,10 @@ class C2ICodeDataset:
             cond = np.load(os.path.join(cond_dir, f))
             if cond.ndim >= 3 and self.flip_aug:
                 cond = cond[aug_idx]
+            # ref extractors store (A, 1, H, W) (extract_file_imagenet.py:120
+            # appends [None, None]); drop the singleton channel
+            if cond.ndim == 3 and cond.shape[0] == 1:
+                cond = cond[0]
             # stored as uint8-range maps; normalized on device
             out["control_map"] = cond.astype(np.uint8)
         return out
