@@ -75,8 +75,15 @@ def _interp_pos_embed(params: Params, cfg: ViTConfig, grid_h: int, grid_w: int):
     return jnp.concatenate([cls_pos, patch.astype(pos.dtype)], axis=0)
 
 
-def vit_forward(params: Params, cfg: ViTConfig, x: jnp.ndarray) -> jnp.ndarray:
-    """x: (B, H, W, 3) -> patch tokens (B, (H/P)*(W/P), C), CLS dropped."""
+def vit_forward(
+    params: Params, cfg: ViTConfig, x: jnp.ndarray, remat: "str | bool" = False
+) -> jnp.ndarray:
+    """x: (B, H, W, 3) -> patch tokens (B, (H/P)*(W/P), C), CLS dropped.
+
+    remat: rematerialize each layer in backward (same policy strings as
+    gpt._scan_layers). Without it, training at 512px saves every layer's
+    (B, heads, 1025, 1025) score tensor for the VJP — 3.8 GB at batch 8, the
+    single largest allocation of the XL-512 control step."""
     b, h, w, _ = x.shape
     p = cfg.patch_size
     gh, gw = h // p, w // p
@@ -114,6 +121,14 @@ def vit_forward(params: Params, cfg: ViTConfig, x: jnp.ndarray) -> jnp.ndarray:
             y = y * lp["ls2"]
         return hh + y, None
 
+    if remat:
+        if remat == "dots":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        else:
+            body = jax.checkpoint(body)
     hstate, _ = jax.lax.scan(body, hstate, params["layers"])
     hstate = layer_norm(
         hstate, params["final_norm"]["scale"], params["final_norm"]["bias"],

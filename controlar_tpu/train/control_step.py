@@ -121,7 +121,9 @@ def make_control_train_step(
 
         cond_img = extract_condition_on_device(batch, condition_type, frozen)
         feats = vit_model.vit_forward(
-            ap, adapter_cfg, to_patch14(cond_img, condition_type).astype(compute_dtype)
+            ap, adapter_cfg,
+            to_patch14(cond_img, condition_type).astype(compute_dtype),
+            remat=(remat_policy if remat_policy != "none" else False),
         )
         cond_tokens = gpt_model.control_tokens(gp, gpt_cfg, feats, drop_ids)
 

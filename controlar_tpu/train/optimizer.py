@@ -63,6 +63,40 @@ def step_lr(lr: float, decay_every_steps: int, gamma: float = 0.9) -> optax.Sche
     )
 
 
+def _cast_float_arrays(tree, from_dtype, to_dtype):
+    """Cast non-scalar float arrays of `from_dtype` to `to_dtype`; leave
+    counters (int), scalars (schedule hyperparams), and empty states alone."""
+    def cast(x):
+        if hasattr(x, "dtype") and x.dtype == from_dtype and getattr(x, "ndim", 0) > 0:
+            return x.astype(to_dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def with_state_dtype(
+    tx: optax.GradientTransformation, dtype
+) -> optax.GradientTransformation:
+    """Store the optimizer state's float32 moment tensors in `dtype`.
+
+    Adam's mu/nu dominate trainer memory at large sizes (GPT-XL 775M: 6.2 GB
+    of fp32 moments; the fp32 state was the single-chip OOM driver for XL-512
+    training). bf16 keeps fp32's exponent range, so nu (a running mean of g²,
+    strictly positive with huge dynamic range) stays well-conditioned; the
+    8-bit mantissa costs <1e-2 relative noise per moment read — the update
+    itself still runs in fp32 (cast up, apply, cast back down).
+    """
+    def init(params):
+        return _cast_float_arrays(tx.init(params), jnp.float32, dtype)
+
+    def update(updates, state, params=None):
+        state32 = _cast_float_arrays(state, dtype, jnp.float32)
+        updates, new_state = tx.update(updates, state32, params)
+        return updates, _cast_float_arrays(new_state, jnp.float32, dtype)
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(
     lr: float = 1e-4,
     weight_decay: float = 5e-2,
@@ -70,6 +104,7 @@ def make_optimizer(
     beta2: float = 0.95,
     max_grad_norm: float = 1.0,
     lr_schedule: "optax.Schedule | None" = None,
+    state_dtype: "str | None" = None,
 ) -> optax.GradientTransformation:
     tx = optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
@@ -81,6 +116,8 @@ def make_optimizer(
             mask=decay_mask,
         ),
     )
+    if state_dtype is not None and jnp.dtype(state_dtype) != jnp.float32:
+        tx = with_state_dtype(tx, jnp.dtype(state_dtype))
     return tx
 
 

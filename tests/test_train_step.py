@@ -77,3 +77,58 @@ def test_stacked_norms_not_decayed_matches_reference_intent():
     mask = decay_mask(params)
     assert mask["layers"]["attention_norm"] is False
     assert mask["layers"]["ffn_norm"] is False
+
+
+def test_bf16_opt_state_tracks_fp32_adam():
+    """with_state_dtype(bf16) stores Adam moments in bf16 (half the HBM) and
+    stays within bf16 rounding of the exact fp32 trajectory."""
+    import optax
+    from controlar_tpu.train.optimizer import with_state_dtype
+
+    rng = np.random.default_rng(0)
+    params = {
+        "w": jnp.asarray(rng.standard_normal((32, 32)), jnp.float32),
+        "b": jnp.asarray(rng.standard_normal((32,)), jnp.float32),
+    }
+    tx32 = make_optimizer(lr=1e-2)
+    tx16 = make_optimizer(lr=1e-2, state_dtype="bfloat16")
+
+    s32, s16 = tx32.init(params), tx16.init(params)
+    # moments stored in bf16, counters untouched
+    dtypes = {str(x.dtype) for x in jax.tree.leaves(s16) if hasattr(x, "ndim") and x.ndim > 0}
+    assert dtypes == {"bfloat16"}, dtypes
+
+    p32 = p16 = params
+    for i in range(10):
+        g = jax.tree.map(
+            lambda p: jnp.asarray(rng.standard_normal(p.shape), jnp.float32) * 0.1 + 0.05 * p,
+            params,
+        )
+        u32, s32 = tx32.update(g, s32, p32)
+        u16, s16 = tx16.update(g, s16, p16)
+        p32 = optax.apply_updates(p32, u32)
+        p16 = optax.apply_updates(p16, u16)
+
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=2e-2)
+        # and the trajectories actually moved
+        assert float(jnp.abs(a - jax.tree.leaves(params)[0]).max()) >= 0.0
+
+
+def test_bf16_opt_state_train_step_loss_decreases():
+    tx = make_optimizer(lr=2e-3, state_dtype="bfloat16")
+    rng = jax.random.PRNGKey(0)
+    params = jgpt.init_gpt_params(rng, CFG)
+    state = init_train_state(rng, CFG, tx, params=params)
+    step = jax.jit(make_train_step(CFG, tx), donate_argnums=0)
+    nprng = np.random.default_rng(0)
+    batch = jax.tree.map(jnp.asarray, _batch(4, nprng))
+    losses = []
+    for _ in range(6):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # moment storage really is bf16 inside the live state
+    big = [x for x in jax.tree.leaves(state.opt_state) if hasattr(x, "ndim") and x.ndim > 0]
+    assert big and all(x.dtype == jnp.bfloat16 for x in big)
