@@ -73,6 +73,14 @@ class ServeConfig:
     # finished slot stops burning full-model steps for up to quantum-1 steps
     # (the frozen-slot tail waste). None = single fixed quantum.
     quantum_buckets: Optional[tuple] = None
+    # quantum selection among the buckets:
+    #   "early_exit": smallest bucket covering the earliest finisher.
+    #   "occupancy":  additionally shrink the quantum in proportion to slot
+    #     occupancy — a mostly-empty engine returns to the scheduler sooner,
+    #     so mid-quantum arrivals are admitted into the empty slots instead
+    #     of waiting out a full quantum (the dominant device-step waste term
+    #     under partial Poisson load was empty slots, not the frozen tail).
+    quantum_policy: str = "early_exit"
     temperature: float = 1.0
     top_k: int = 2000
     top_p: float = 1.0
@@ -319,17 +327,24 @@ class ServeEngine:
 
     def _pick_quantum(self) -> int:
         """Smallest bucket covering the earliest-finishing active slot (the
-        early-exit policy); the fixed quantum when buckets are off."""
+        early-exit policy); the fixed quantum when buckets are off. Under the
+        "occupancy" policy the quantum additionally shrinks with slot
+        occupancy so free slots get refilled from new arrivals sooner."""
         buckets = self.scfg.quantum_buckets
         if not buckets:
             return self.scfg.quantum
+        srt = sorted(buckets)
+        n = self.scfg.max_slots
         remaining = [self.cfg.block_size - int(self.emitted[s])
-                     for s in range(self.scfg.max_slots) if self.active[s]]
+                     for s in range(n) if self.active[s]]
         need = min(remaining) if remaining else max(buckets)
-        for q in sorted(buckets):
-            if q >= need:
-                return q
-        return max(buckets)
+        q = next((b for b in srt if b >= need), srt[-1])
+        if self.scfg.quantum_policy == "occupancy":
+            n_active = len(remaining)
+            if n_active < n:
+                target = max(1, (srt[-1] * n_active + n - 1) // n)
+                q = min(q, next((b for b in srt if b >= target), srt[-1]))
+        return q
 
     def step(self):
         """One scheduler iteration: group-admit -> decode quantum ->

@@ -38,10 +38,13 @@ def run_mixed(params, cfg, quant_on, rate):
     n_req = 24
     arrivals = np.cumsum(rng.exponential(1.0 / rate, n_req))
 
-    for label, buckets in [("fixed quantum 72", None),
-                           ("buckets (72,36,18)", (72, 36, 18))]:
+    for label, buckets, policy in [
+            ("fixed quantum 72", None, "early_exit"),
+            ("buckets (72,36,18)", (72, 36, 18), "early_exit"),
+            ("occupancy (72,36,18,9)", (72, 36, 18, 9), "occupancy")]:
         scfg = ServeConfig(
             max_slots=8, quantum=72, top_k=2000, quantum_buckets=buckets,
+            quantum_policy=policy,
             cache_dtype=jnp.int8 if quant_on else jnp.bfloat16,
             compilation_cache_dir="/tmp/jax_serve_cache")
         eng = ServeEngine(params, cfg, scfg)

@@ -227,3 +227,41 @@ def test_engine_tp_sharded_matches_single_device():
     got = run(sharded, mesh)
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_occupancy_quantum_policy():
+    """Occupancy policy shrinks the quantum when slots are mostly empty
+    (VERDICT r3 #7) and never changes generated tokens (sampling is
+    scheduling-independent)."""
+    cfg = CFG
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg)
+    scfg = ServeConfig(max_slots=4, quantum=8, greedy=True,
+                       quantum_buckets=(8, 4, 2), quantum_policy="occupancy",
+                       use_flash=False)
+    eng = ServeEngine(params, cfg, scfg)
+
+    # selection math, directly: 1/4 occupancy -> bucket covering 8*1/4=2
+    eng.active[:] = False
+    eng.active[0] = True
+    eng.emitted[0] = 0
+    assert eng._pick_quantum() == 2
+    eng.active[1] = True
+    eng.emitted[1] = 0
+    assert eng._pick_quantum() == 4          # 8*2/4 = 4
+    eng.active[:] = True
+    for s in range(4):
+        eng.emitted[s] = 0
+    assert eng._pick_quantum() == 8          # full: no shrink
+    eng.emitted[2] = cfg.block_size - 3      # near finisher: early exit wins
+    assert eng._pick_quantum() == 4
+    eng.active[:] = False
+
+    # end-to-end: tokens identical to the fixed-quantum engine
+    done = eng.run([Request(request_id=i, label=i, cfg_scale=2.0, seed=i)
+                    for i in range(6)])
+    eng2 = ServeEngine(params, cfg, ServeConfig(
+        max_slots=4, quantum=8, greedy=True, use_flash=False))
+    done2 = eng2.run([Request(request_id=10 + i, label=i, cfg_scale=2.0,
+                              seed=i) for i in range(6)])
+    for a, b in zip(done, done2):
+        np.testing.assert_array_equal(a.tokens, b.tokens)
