@@ -213,6 +213,7 @@ def cmd_train_t2i(args):
         lr=args.lr, global_batch_size=args.global_batch_size, epochs=args.epochs,
         results_dir=args.results_dir, gpt_ckpt=args.gpt_ckpt,
         resume_dir=args.resume_dir, ema=args.ema,
+        remat_policy=args.remat_policy, opt_state_dtype=args.opt_state_dtype,
     )
     if args.code_path.endswith(".car"):
         from controlar_tpu.data.carpack import CarpackControlDataset
@@ -250,6 +251,7 @@ def cmd_train_c2i(args):
         cls_token_num=1, lr=args.lr, global_batch_size=args.global_batch_size,
         epochs=args.epochs, results_dir=args.results_dir,
         gpt_ckpt=args.gpt_ckpt, resume_dir=args.resume_dir, ema=args.ema,
+        remat_policy=args.remat_policy, opt_state_dtype=args.opt_state_dtype,
     )
     if args.code_dir.endswith(".car"):
         from controlar_tpu.data.carpack import CarpackControlDataset
@@ -766,7 +768,7 @@ def cmd_extract(args):
     from controlar_tpu.config import vq_config
     from controlar_tpu.models import vq as vq_model
     from controlar_tpu import checkpoint as ckpt_lib
-    from controlar_tpu.data.extract import extract_tree
+    from controlar_tpu.data.extract import extract_tree, extract_c2i_tree
 
     vcfg = vq_config("VQ-16")
     if args.vq_ckpt:
@@ -774,6 +776,49 @@ def cmd_extract(args):
     else:
         print("[warn] random VQ weights", file=sys.stderr)
         vq_params = vq_model.init_vq_params(jax.random.PRNGKey(0), vcfg)
+
+    if args.task == "c2i":
+        conditions = tuple(c for c in args.conditions.split(",") if c)
+        depth_params = None
+        if "depth" in conditions:
+            from controlar_tpu.models import midas as midas_model
+
+            if args.midas_ckpt:
+                from controlar_tpu.convert.torch_midas import load_midas_checkpoint
+
+                depth_params = load_midas_checkpoint(args.midas_ckpt)
+            else:
+                print("[warn] random MiDaS weights", file=sys.stderr)
+                depth_params = midas_model.init_midas_params(jax.random.PRNGKey(1))
+
+        def c2i_samples():
+            classes = sorted(
+                d for d in os.listdir(args.images)
+                if os.path.isdir(os.path.join(args.images, d))
+            )
+            if classes:  # ImageNet-style class subfolders
+                for label, cls in enumerate(classes):
+                    cdir = os.path.join(args.images, cls)
+                    for f in sorted(os.listdir(cdir)):
+                        if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                            yield {"image": Image.open(os.path.join(cdir, f)),
+                                   "label": label}
+            else:  # flat folder, label 0
+                for f in sorted(os.listdir(args.images)):
+                    if f.lower().endswith((".png", ".jpg", ".jpeg")):
+                        yield {"image": Image.open(os.path.join(args.images, f)),
+                               "label": 0}
+
+        n = extract_c2i_tree(
+            args.output_dir, c2i_samples(), vq_params, vcfg,
+            dataset=args.dataset, image_size=args.image_size,
+            use_ten_crop=args.ten_crop, crop_range=args.crop_range,
+            conditions=conditions, canny_low=args.min_threshold,
+            canny_high=args.max_threshold, depth_params=depth_params,
+            batch_images=args.batch_images,
+        )
+        print(f"extracted {n} c2i samples to {args.output_dir}")
+        return
 
     captions = {}
     if args.captions:
@@ -822,6 +867,12 @@ def main(argv=None):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots", "none"])
+    p.add_argument("--opt-state-dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="Adam moment storage; bfloat16 halves optimizer HBM "
+                        "(unlocks GPT-XL 512 on one 16 GB chip)")
     p.add_argument("--dist-coordinator", default=None,
                    help="multi-host coordinator address (host:port); "
                         "auto-detected on TPU pods")
@@ -874,6 +925,10 @@ def main(argv=None):
     p.add_argument("--results-dir", default="results")
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
+    p.add_argument("--remat-policy", default="full",
+                   choices=["full", "dots", "none"])
+    p.add_argument("--opt-state-dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     p.add_argument("--dist-coordinator", default=None)
     p.add_argument("--dist-num-processes", type=int, default=None)
     p.add_argument("--dist-process-id", type=int, default=None)
@@ -1005,12 +1060,29 @@ def main(argv=None):
     p.set_defaults(fn=cmd_eval_c2i)
 
     p = sub.add_parser("extract")
+    p.add_argument("--task", default="t2i", choices=["t2i", "c2i"],
+                   help="t2i: code/caption_emb/image tree; c2i: ImageNet "
+                        "{codes,labels,cond_imagesnpy} trees "
+                        "(ref extract_codes_c2i.py / extract_file_imagenet.py)")
     p.add_argument("--vq-ckpt", default=None)
     p.add_argument("--t5-path", default=None)
-    p.add_argument("--images", required=True)
+    p.add_argument("--images", required=True,
+                   help="image folder; for c2i, an ImageNet-style "
+                        "class-subfolder tree (label = sorted folder index)")
     p.add_argument("--captions", default=None, help="jsonl with image/caption")
     p.add_argument("--image-size", type=int, default=512)
     p.add_argument("--output-dir", required=True)
+    p.add_argument("--dataset", default="imagenet", help="c2i tree prefix")
+    p.add_argument("--ten-crop", action="store_true",
+                   help="c2i: 10 crops/image instead of center+flip")
+    p.add_argument("--crop-range", type=float, default=1.1)
+    p.add_argument("--conditions", default="",
+                   help="c2i: comma subset of canny,depth")
+    p.add_argument("--min-threshold", type=int, default=100)
+    p.add_argument("--max-threshold", type=int, default=200)
+    p.add_argument("--midas-ckpt", default=None,
+                   help="MiDaS dpt_hybrid checkpoint for depth extraction")
+    p.add_argument("--batch-images", type=int, default=8)
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("bench")
