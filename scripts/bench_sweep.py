@@ -54,11 +54,17 @@ Notes:
 - Quantization quality is MEASURED, not assumed: eval/quant_report.py
   (CLI `quant-report`, and verify-zoo --quant-report for real weights)
   reports teacher-forced token agreement / logit error / prefix survival
-  per mode. At RANDOM weights (worst case: near-uniform logits, so argmax
-  flips on tiny noise) GPT-B/XL: int8 0.87/0.89 agreement, int8+kv8
-  0.88/0.87, w4 0.41/0.05. Released-weight numbers must be produced by
-  verify-zoo --quant-report before shipping the W4 point; int8 is the
-  default --quant mode.
+  per mode. On TRAINED weights (scripts/toy_train_quant.py: models trained
+  to convergence on-chip — GPT-B loss 1.36, GPT-XL 1.54, vs the task's
+  ~1.3 optimum — the sharp-logit regime real checkpoints live in), token
+  agreement is 1.000 for EVERY mode at both sizes, including w4+kv4
+  (GPT-B/XL logit-rel-err 0.053/0.038; prefix survival 256/256; the
+  free-running sequences match bf16 exactly). The previously-reported
+  RANDOM-weight numbers (GPT-B/XL: int8 0.87/0.89, w4 0.41/0.05) are the
+  systems-level worst case — near-uniform logits, so argmax flips on tiny
+  noise; they bound kernel bugs, not deployment quality. verify-zoo
+  --quant-report on released checkpoints remains the ship gate for the W4
+  point; int8 is the default --quant mode.
 - A roofline note on the 2x-vs-A100 target at GPT-3B: int8 weights are
   3.36 GB x 576 steps = 1.93 TB; finishing in 3.13 s would need 0.62 TB/s
   for weights ALONE, against ~0.70 TB/s measured ceiling with the KV read
