@@ -40,15 +40,24 @@ def export_params_npz(params, path: str) -> None:
 
 
 def import_params_npz(path: str) -> Dict:
-    """Inverse of export_params_npz (lists come back as dicts of indices)."""
+    """Inverse of export_params_npz (lists come back as dicts of indices).
+
+    np.savez has no format code for ml_dtypes, so bfloat16 arrays round-trip
+    through a raw 2-byte void dtype ('V2'); re-view them as bfloat16 here.
+    """
+    import ml_dtypes
+
     flat = np.load(path)
     root: Dict = {}
     for key in flat.files:
+        arr = flat[key]
+        if arr.dtype.kind == "V" and arr.dtype.itemsize == 2:
+            arr = arr.view(ml_dtypes.bfloat16)
         parts = key.split("/")
         node = root
         for p in parts[:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = flat[key]
+        node[parts[-1]] = arr
     return root
 
 

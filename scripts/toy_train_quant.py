@@ -58,6 +58,9 @@ def main():
     ap.add_argument("--max-new-tokens", type=int, default=256)
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--skip-quant", action="store_true")
+    ap.add_argument("--load-ckpt", default=None,
+                    help="skip training; run the quant report on this "
+                         ".npz checkpoint (from a prior --ckpt-out)")
     args = ap.parse_args()
 
     import numpy as np
@@ -75,39 +78,47 @@ def main():
                      class_dropout_prob=0.1, token_dropout_p=0.0,
                      resid_dropout_p=0.0, ffn_dropout_p=0.0)
 
-    if args.optimizer == "adafactor":
-        tx = optax.chain(optax.clip_by_global_norm(1.0),
-                         optax.adafactor(learning_rate=args.lr))
+    if args.load_ckpt:
+        from controlar_tpu.tools import import_params_npz
+
+        params_bf16 = jax.tree.map(
+            lambda x: jnp.asarray(x, jnp.bfloat16),
+            import_params_npz(args.load_ckpt))
+        losses, final_loss = [], None
     else:
-        tx = make_optimizer(lr=args.lr, state_dtype=args.opt_state_dtype)
+        if args.optimizer == "adafactor":
+            tx = optax.chain(optax.clip_by_global_norm(1.0),
+                             optax.adafactor(learning_rate=args.lr))
+        else:
+            tx = make_optimizer(lr=args.lr, state_dtype=args.opt_state_dtype)
 
-    rng = jax.random.PRNGKey(0)
-    params = gpt_model.init_gpt_params(
-        rng, cfg, dtype=jnp.dtype(args.param_dtype))
-    state = init_train_state(rng, cfg, tx, params=params)
-    step = jax.jit(make_train_step(cfg, tx), donate_argnums=0)
+        rng = jax.random.PRNGKey(0)
+        params = gpt_model.init_gpt_params(
+            rng, cfg, dtype=jnp.dtype(args.param_dtype))
+        state = init_train_state(rng, cfg, tx, params=params)
+        step = jax.jit(make_train_step(cfg, tx), donate_argnums=0)
 
-    nprng = np.random.default_rng(0)
-    t0 = time.perf_counter()
-    losses = []
-    for i in range(args.steps):
-        labels = nprng.integers(0, args.num_classes_used, args.batch)
-        batch = {
-            "labels": labels.astype(np.int32),
-            "tokens": toy_tokens(nprng, labels, cfg.block_size,
-                                 cfg.vocab_size, args.noise),
-        }
-        state, m = step(state, batch, jax.random.PRNGKey(1))
-        if i % 50 == 0 or i == args.steps - 1:
-            l = float(jax.device_get(m["loss"]))
-            losses.append(l)
-            print(f"step {i}: loss {l:.4f} "
-                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    final_loss = losses[-1]
+        nprng = np.random.default_rng(0)
+        t0 = time.perf_counter()
+        losses = []
+        for i in range(args.steps):
+            labels = nprng.integers(0, args.num_classes_used, args.batch)
+            batch = {
+                "labels": labels.astype(np.int32),
+                "tokens": toy_tokens(nprng, labels, cfg.block_size,
+                                     cfg.vocab_size, args.noise),
+            }
+            state, m = step(state, batch, jax.random.PRNGKey(1))
+            if i % 50 == 0 or i == args.steps - 1:
+                l = float(jax.device_get(m["loss"]))
+                losses.append(l)
+                print(f"step {i}: loss {l:.4f} "
+                      f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        final_loss = losses[-1]
 
-    params_bf16 = jax.tree.map(
-        lambda p: jnp.asarray(p, jnp.bfloat16), state.params)
-    del state
+        params_bf16 = jax.tree.map(
+            lambda p: jnp.asarray(p, jnp.bfloat16), state.params)
+        del state
 
     if args.ckpt_out:
         from controlar_tpu.tools import export_params_npz

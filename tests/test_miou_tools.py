@@ -48,6 +48,24 @@ def test_params_npz_roundtrip(tmp_path):
     )
 
 
+def test_params_npz_roundtrip_bfloat16(tmp_path):
+    """np.savez stores bf16 as raw V2 void; import must re-view it
+    (regression: trained-ckpt quant-report load failed with
+    'No cast function available')."""
+    import jax.numpy as jnp
+
+    tree = {"w": jnp.full((3, 4), 1.5, jnp.bfloat16),
+            "b": {"0": jnp.arange(4, dtype=jnp.float32)}}
+    path = str(tmp_path / "bf16.npz")
+    export_params_npz(tree, path)
+    back = import_params_npz(path)
+    assert back["w"].dtype == jnp.bfloat16
+    assert back["b"]["0"].dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(tree["w"]), back["w"])
+    # and it casts cleanly into a jax array (the failing op)
+    assert jnp.asarray(back["w"], jnp.bfloat16).dtype == jnp.bfloat16
+
+
 def test_reference_miou_matches_reference_script_math():
     """Fixture parity with ref evaluations/ade20k_mIoU.py:42-66 — the exact
     numpy accounting (incl. the pos_gt-numerator / iou_valid-denominator
