@@ -73,11 +73,16 @@ def measure_quant_agreement(
         labels = jnp.arange(4) % max(cfg.num_classes, 1)
     assert cfg.model_type == "c2i", "gate runs on the c2i surface"
 
+    # Work entirely on the unstacked tree: pass an already-unstacked tree
+    # (decode.unstack_layers) from the caller and the stacked copy never
+    # has to coexist with a quantized one — at GPT-3B (6.2 GB bf16) that
+    # margin decides whether the report fits 16 GB HBM.
     base = dec.unstack_layers(params)
+    del params
     prefix = gpt_model.embed_prefix_c2i(base, labels)
 
     ref_tokens = jgen.generate(
-        params, cfg, labels=labels, max_new_tokens=n_new,
+        base, cfg, labels=labels, max_new_tokens=n_new,
         cfg_scale=cfg_scale, sample_logits=False,
         rng=jax.random.PRNGKey(0), use_flash=False)
     ref_logits = _teacher_forced_logits(base, cfg, prefix, ref_tokens)
@@ -89,7 +94,7 @@ def measure_quant_agreement(
         cache_dtype = {"kv8": jnp.int8, "kv4": jnp.int4}.get(
             kvmode, jnp.bfloat16)
         if wmode == "int8":
-            qp = dec.unstack_layers(quant.quantize_gpt_params(params))
+            qp = quant.quantize_gpt_params(base)
         elif wmode == "w4":
             qp = quant.quantize_gpt_params_w4(base)
         else:
@@ -116,6 +121,7 @@ def measure_quant_agreement(
             "mean_prefix_survival": float(survival.mean()),
             "free_running_match": float(eq.mean()),
         }
+        del qp, q_logits, q_tokens  # free before quantizing the next mode
     return out
 
 

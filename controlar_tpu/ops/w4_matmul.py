@@ -107,16 +107,24 @@ def dequantize_weight_w4(qw: Dict[str, jnp.ndarray], dtype=jnp.bfloat16,
     return (w if k is None else w[:k]).astype(dtype)
 
 
-def _nslot(group: int, n: int, bp: int, nchunks: int) -> int:
-    """Pipeline depth bounded by VMEM: slot buffers plus the kernel's other
-    VMEM residents (f32 out, scales, plane-major x at bf16 lane padding)
-    must fit the 16 MB scoped limit, with ~1.5 MB headroom for Mosaic's own
-    stack (accumulators, spills)."""
+_VMEM_BUDGET = int(15.25 * 1024 * 1024)
+
+
+def _resident_bytes(group: int, n: int, bp: int, nchunks: int) -> int:
+    """The kernel's fixed VMEM residents (f32 out, scales, plane-major x at
+    bf16 lane padding, f32 loop temporaries) before any slot buffers."""
     out_b = bp * n * 4
     s_b = 2 * nchunks * n * 4
     x_b = 2 * nchunks * max(bp, 16) * _pad_to(group, 128) * 2
     acc_b = 3 * bp * n * 4  # acc + dl + dh f32 loop temporaries (measured)
-    budget = int(15.25 * 1024 * 1024) - out_b - s_b - x_b - acc_b
+    return out_b + s_b + x_b + acc_b
+
+
+def _nslot(group: int, n: int, bp: int, nchunks: int) -> int:
+    """Pipeline depth bounded by VMEM: slot buffers plus the kernel's other
+    VMEM residents must fit the 16 MB scoped limit, with ~1.5 MB headroom
+    for Mosaic's own stack (accumulators, spills)."""
+    budget = _VMEM_BUDGET - _resident_bytes(group, n, bp, nchunks)
     return max(2, min(6, budget // (group * n)))
 
 
@@ -435,6 +443,20 @@ def w4_matmul(x: jnp.ndarray, q4: jnp.ndarray, s: jnp.ndarray,
     group = 2 * kp2 // s.shape[0]
     nchunks = kp2 // group
     bp = _pad_to(max(b, 16), 16)
+    # VMEM-aware N-split: at large row counts (speculative chunk-verify,
+    # prefill tails) the fixed residents alone (4x bp*n f32 out+acc) blow
+    # the 16 MB scoped limit that bp=16 decode was tuned for. Halve the
+    # output columns (128-aligned) recursively until a piece fits; the
+    # weights stream once per piece over disjoint columns, so total HBM
+    # weight bytes are unchanged.
+    if (n > 128 and _resident_bytes(group, n, bp, nchunks)
+            + 2 * group * n > _VMEM_BUDGET):
+        mid = _pad_to(n // 2, 128)
+        lo = w4_matmul(x, q4[:, :mid], s[:, :mid],
+                       out_dtype=out_dtype, interpret=interpret)
+        hi = w4_matmul(x, q4[:, mid:], s[:, mid:],
+                       out_dtype=out_dtype, interpret=interpret)
+        return jnp.concatenate([lo, hi], axis=-1)
     nslot = _nslot(group, n, bp, nchunks)
     natural = group % 128 == 0 and k % group == 0
     if natural:

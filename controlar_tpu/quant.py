@@ -155,8 +155,20 @@ def quantize_gpt_params(
 
     Everything else (embeddings, norms, control MLPs) stays untouched: their
     per-step traffic is negligible (gathers + (d,d)-at-most MLP applied once).
+    Also accepts the UNSTACKED layout (list/tuple of per-layer dicts) —
+    quantizing after unstacking avoids holding a stacked int8 temp at the
+    big sizes (GPT-3B quant-report HBM headroom).
     """
     out = dict(params)
+    if isinstance(params["layers"], (list, tuple)):
+        out["layers"] = tuple(
+            {k: (quantize_weight(v) if k in LAYER_QUANT_KEYS and k not in keep
+                 else v) for k, v in lp.items()}
+            for lp in params["layers"])
+        for k in TOP_QUANT_KEYS:
+            if k in out and k not in keep:
+                out[k] = quantize_weight(out[k])
+        return out
     layers = dict(params["layers"])
     for k in LAYER_QUANT_KEYS:
         if k in layers and k not in keep:

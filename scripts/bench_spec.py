@@ -30,17 +30,23 @@ REF_VLLM_A100 = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
 
 
 def load_or_init(size, ckpt, cfg, seed):
+    """Returns the UNSTACKED layout: at GPT-3B (6.2 GB bf16) the stacked
+    tree must not coexist with the quantized copies (16 GB HBM)."""
     import jax
     import jax.numpy as jnp
+    from controlar_tpu import decode as dec
     from controlar_tpu.models import gpt as jgpt
 
     if ckpt:
         from controlar_tpu.tools import import_params_npz
 
         params = import_params_npz(ckpt)
-        return jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
-    print(f"[warn] random {size} weights", file=sys.stderr)
-    return jgpt.init_gpt_params(jax.random.PRNGKey(seed), cfg, dtype=jnp.bfloat16)
+        params = jax.tree.map(lambda x: jnp.asarray(x, jnp.bfloat16), params)
+    else:
+        print(f"[warn] random {size} weights", file=sys.stderr)
+        params = jgpt.init_gpt_params(jax.random.PRNGKey(seed), cfg,
+                                      dtype=jnp.bfloat16)
+    return dec.unstack_layers(params)
 
 
 def main():
@@ -142,10 +148,15 @@ def main():
                 kw = dict(sample_kw)
                 if not args.greedy:
                     kw["rng"] = jax.random.PRNGKey(seed)
+                # kv4 has no chunk-verify kernel (spec_decode gate): the
+                # spec arm of the w4 mode runs w4 weights + int8 KV, while
+                # its vanilla comparator keeps the full w4+kv4 config.
+                spec_cache = (jnp.int8 if cache_dtype == jnp.int4
+                              else cache_dtype)
                 toks, st = spec.generate_spec(
                     tp, tcfg, dparams, dcfg, labels=labels,
                     max_new_tokens=args.new_tokens, k_draft=k,
-                    cfg_scale=args.cfg_scale, cache_dtype=cache_dtype,
+                    cfg_scale=args.cfg_scale, cache_dtype=spec_cache,
                     draft_cache_dtype=jnp.bfloat16,
                     return_stats=True, **kw)
                 stats_holder["acc"] = st["accepted_per_cycle"]

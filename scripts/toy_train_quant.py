@@ -130,9 +130,13 @@ def main():
     out = {"size": args.size, "steps": args.steps, "final_loss": final_loss,
            "optimizer": args.optimizer, "losses": losses}
     if not args.skip_quant:
+        from controlar_tpu import decode as dec
         from controlar_tpu.eval.quant_report import (
             format_report, measure_quant_agreement)
 
+        # rebind to the unstacked layout: drops the stacked tree so the
+        # report never holds stacked + unstacked + quantized at once
+        params_bf16 = dec.unstack_layers(params_bf16)
         report = measure_quant_agreement(
             params_bf16, cfg, modes=tuple(args.quant_modes.split(",")),
             max_new_tokens=args.max_new_tokens)

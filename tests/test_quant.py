@@ -161,3 +161,19 @@ def test_unstack_cache_distinguishes_quantized_tree():
     qp = dec.unstack_layers(quant.quantize_gpt_params(params))
     assert quant.is_quantized(qp["layers"][0]["w1"])
     assert not quant.is_quantized(base["layers"][0]["w1"])
+
+
+def test_quantize_gpt_params_unstacked_matches_stacked():
+    """quantize(unstack(p)) must equal unstack(quantize(p)) — the unstacked
+    path exists so the GPT-3B quant-report never holds a stacked int8 temp
+    (HBM headroom fix)."""
+    from controlar_tpu import decode as dec
+
+    cfg = tiny_cfg()
+    p = jgpt.init_gpt_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    a = dec.unstack_layers(quant.quantize_gpt_params(p))
+    b = quant.quantize_gpt_params(dec.unstack_layers(p))
+    la, lb = jax.tree.leaves(a), jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -209,3 +209,33 @@ def test_unpack_i8_mode_bit_identical():
     finally:
         wm.UNPACK_I8 = old
     np.testing.assert_array_equal(alt, base)
+
+
+def test_w4_matmul_vmem_split_matches_dequant_reference():
+    """Shapes whose fixed VMEM residents exceed the scoped limit must take
+    the recursive N-split (regression: speculative chunk-verify at GPT-3B
+    w13 — bp=64, N=17408 — OOM'd scoped vmem by 2.8 MB)."""
+    from controlar_tpu.ops.w4_matmul import (
+        _VMEM_BUDGET, _pad_to, _resident_bytes)
+
+    rng = np.random.default_rng(2)
+    b, k, n = 256, 256, 4096  # 4*bp*n*4 = 16.8 MB of out+acc > 15.25 MB
+    qshape_group = 128
+    x = jnp.asarray(rng.standard_normal((b, k)).astype(np.float32) * 0.1,
+                    dtype=jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)).astype(np.float32) * 0.05)
+    qw = quantize_weight_w4(w)
+    group = 2 * qw["q4"].shape[0] // qw["s"].shape[0]
+    assert group == qshape_group
+    bp = _pad_to(b, 16)
+    nchunks = qw["q4"].shape[0] // group
+    assert (_resident_bytes(group, n, bp, nchunks)
+            + 2 * group * n > _VMEM_BUDGET), "shape must trigger the split"
+    want = np.asarray(
+        jnp.dot(x, dequantize_weight_w4(qw, jnp.bfloat16, k=k),
+                preferred_element_type=jnp.float32))
+    got = np.asarray(
+        w4_matmul(x, qw["q4"], qw["s"], out_dtype=jnp.float32,
+                  interpret=True))
+    assert got.shape == (b, n)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
