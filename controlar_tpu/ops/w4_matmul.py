@@ -40,8 +40,12 @@ GROUP = 128  # default quantization group size along K (rows per scale)
 
 # A/B switch (env CONTROLAR_UNPACK_I8=1): unpack nibbles with int8-domain
 # shifts instead of widening to int32 first. Bit-identical (interpret-
-# verified); if Mosaic vectorizes int8 ALU ops at packed width it is up to
-# 4x fewer VPU cycles — the q4 attention path is VPU-unpack-bound.
+# verified) and it passes the CLIENT-side Mosaic lowering, but the real
+# backend rejects it: `arith.shli` only legalizes on 32-bit vectors on the
+# current toolchain (measured 2026-08-19; int16 fails identically). The
+# flag stays for future toolchains; int32-domain remains the default and
+# the only compilable mode, so the q4 unpack cost (~35 us/call at GPT-3B)
+# is a hardware-toolchain floor for now.
 import os as _os
 
 UNPACK_I8 = _os.environ.get("CONTROLAR_UNPACK_I8") == "1"
