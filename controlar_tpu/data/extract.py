@@ -55,10 +55,11 @@ def extract_tree(
         return codes
 
     idx = process_index
+    count = 0
     buf = []
 
     def flush():
-        nonlocal idx
+        nonlocal idx, count
         if not buf:
             return
         arrs = np.stack([np.asarray(s["image"], np.uint8) for s in buf])
@@ -88,6 +89,7 @@ def extract_tree(
                     os.path.join(out_dir, "label", f"{idx}.png")
                 )
             idx += process_count
+            count += 1
         buf.clear()
 
     for sample in samples:
@@ -100,7 +102,7 @@ def extract_tree(
         if len(buf) >= batch_images:
             flush()
     flush()
-    return idx
+    return count
 
 
 # --- ImageNet c2i extraction -------------------------------------------------
@@ -206,10 +208,11 @@ def extract_c2i_tree(
                 depth_params, dcfg, u8).astype(jnp.uint8)
 
     idx = process_index
+    count = 0
     buf_crops, buf_labels = [], []
 
     def flush():
-        nonlocal idx
+        nonlocal idx, count
         if not buf_crops:
             return
         b, a = len(buf_crops), buf_crops[0].shape[0]
@@ -231,6 +234,7 @@ def extract_c2i_tree(
                 Image.fromarray(arr[j][0, 0]).save(
                     f"{prefix}_{cond}_images/{idx}.png")
             idx += process_count
+            count += 1
         buf_crops.clear()
         buf_labels.clear()
 
@@ -241,4 +245,4 @@ def extract_c2i_tree(
         if len(buf_crops) >= batch_images:
             flush()
     flush()
-    return idx
+    return count

@@ -189,8 +189,12 @@ class C2ICodeDataset:
                 cond_dir = self.aug_condition_imgs_dir
         code = np.load(os.path.join(code_dir, f))
         aug_idx = 0
-        if self.flip_aug and code.ndim >= 2 and code.shape[0] == 1:
-            aug_idx = int(self.rng.integers(0, code.shape[1]))
+        # ref c2i trees store codes as (1, A, T) with A augmentation crops
+        # (extract.py flush); pick a random crop under flip_aug, else crop 0.
+        aug_tree = code.ndim >= 3 and code.shape[0] == 1
+        if aug_tree:
+            if self.flip_aug:
+                aug_idx = int(self.rng.integers(0, code.shape[1]))
             code = code[0, aug_idx]
         else:
             code = code.reshape(-1)
@@ -200,7 +204,7 @@ class C2ICodeDataset:
         }
         if cond_dir is not None:
             cond = np.load(os.path.join(cond_dir, f))
-            if cond.ndim >= 3 and self.flip_aug:
+            if cond.ndim >= 3 and (aug_tree or self.flip_aug):
                 cond = cond[aug_idx]
             # ref extractors store (A, 1, H, W) (extract_file_imagenet.py:120
             # appends [None, None]); drop the singleton channel

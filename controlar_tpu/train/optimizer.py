@@ -63,21 +63,43 @@ def step_lr(lr: float, decay_every_steps: int, gamma: float = 0.9) -> optax.Sche
     )
 
 
-def _cast_float_arrays(tree, from_dtype, to_dtype):
-    """Cast non-scalar float arrays of `from_dtype` to `to_dtype`; leave
-    counters (int), scalars (schedule hyperparams), and empty states alone."""
-    def cast(x):
-        if hasattr(x, "dtype") and x.dtype == from_dtype and getattr(x, "ndim", 0) > 0:
+def _map_adam_states(state, fn):
+    """Apply `fn` to every ScaleByAdamState inside a (possibly nested) optax
+    state tree, rebuilding the surrounding NamedTuple/tuple/list/dict
+    containers unchanged. Scoping the cast to Adam moments keeps any other
+    float tensor state (schedules, future chain elements) at full precision."""
+    def rec(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return fn(s)
+        if isinstance(s, tuple):
+            vals = [rec(x) for x in s]
+            return type(s)(*vals) if hasattr(s, "_fields") else tuple(vals)
+        if isinstance(s, list):
+            return [rec(x) for x in s]
+        if isinstance(s, dict):
+            return {k: rec(v) for k, v in s.items()}
+        return s
+
+    return rec(state)
+
+
+def _cast_adam_moments(state, from_dtype, to_dtype):
+    def cast_leaf(x):
+        if hasattr(x, "dtype") and x.dtype == from_dtype:
             return x.astype(to_dtype)
         return x
 
-    return jax.tree.map(cast, tree)
+    def cast_adam(s):
+        return s._replace(mu=jax.tree.map(cast_leaf, s.mu),
+                          nu=jax.tree.map(cast_leaf, s.nu))
+
+    return _map_adam_states(state, cast_adam)
 
 
 def with_state_dtype(
     tx: optax.GradientTransformation, dtype
 ) -> optax.GradientTransformation:
-    """Store the optimizer state's float32 moment tensors in `dtype`.
+    """Store Adam's mu/nu moment tensors in `dtype` (other state untouched).
 
     Adam's mu/nu dominate trainer memory at large sizes (GPT-XL 775M: 6.2 GB
     of fp32 moments; the fp32 state was the single-chip OOM driver for XL-512
@@ -86,13 +108,15 @@ def with_state_dtype(
     8-bit mantissa costs <1e-2 relative noise per moment read — the update
     itself still runs in fp32 (cast up, apply, cast back down).
     """
+    dtype = jnp.dtype(dtype)
+
     def init(params):
-        return _cast_float_arrays(tx.init(params), jnp.float32, dtype)
+        return _cast_adam_moments(tx.init(params), jnp.float32, dtype)
 
     def update(updates, state, params=None):
-        state32 = _cast_float_arrays(state, dtype, jnp.float32)
+        state32 = _cast_adam_moments(state, dtype, jnp.float32)
         updates, new_state = tx.update(updates, state32, params)
-        return updates, _cast_float_arrays(new_state, jnp.float32, dtype)
+        return updates, _cast_adam_moments(new_state, jnp.float32, dtype)
 
     return optax.GradientTransformation(init, update)
 

@@ -23,6 +23,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, ".")
 
 REF_VLLM_A100 = {"GPT-B": 2.39, "GPT-L": 3.48, "GPT-XL": 4.84,
@@ -141,6 +143,12 @@ def main():
         print(f"{args.target} {mode}: vanilla {t_van:.3f} s "
               f"({t_van / args.batch:.3f} s/img)", flush=True)
 
+        # kv4 has no chunk-verify kernel (spec_decode gate): the spec arm
+        # of the w4 mode runs w4 weights + int8 KV, while its vanilla
+        # comparator keeps the full w4+kv4 config. Recorded per-k below as
+        # spec_cache so the JSON states the (possibly mismatched) configs.
+        spec_cache = (jnp.int8 if cache_dtype == jnp.int4 else cache_dtype)
+        mrow["vanilla_cache"] = np.dtype(cache_dtype).name
         for k in [int(x) for x in args.k.split(",")]:
             stats_holder = {}
 
@@ -148,11 +156,6 @@ def main():
                 kw = dict(sample_kw)
                 if not args.greedy:
                     kw["rng"] = jax.random.PRNGKey(seed)
-                # kv4 has no chunk-verify kernel (spec_decode gate): the
-                # spec arm of the w4 mode runs w4 weights + int8 KV, while
-                # its vanilla comparator keeps the full w4+kv4 config.
-                spec_cache = (jnp.int8 if cache_dtype == jnp.int4
-                              else cache_dtype)
                 toks, st = spec.generate_spec(
                     tp, tcfg, dparams, dcfg, labels=labels,
                     max_new_tokens=args.new_tokens, k_draft=k,
@@ -163,13 +166,12 @@ def main():
                 return toks
 
             t_spec = timed(run_spec)
-            import numpy as np
-
             acc = float(np.mean(jax.device_get(stats_holder["acc"])))
             mrow["k"][k] = {"spec_s": t_spec,
                             "spec_s_per_image": t_spec / args.batch,
                             "accepted_per_cycle": acc,
                             "alpha": acc / k,
+                            "spec_cache": np.dtype(spec_cache).name,
                             "speedup_vs_vanilla": t_van / t_spec}
             print(f"  k={k}: {t_spec:.3f} s ({t_spec / args.batch:.3f} s/img), "
                   f"accept {acc:.2f}/{k} (alpha {acc / k:.2f}), "

@@ -149,7 +149,8 @@ def test_extract_c2i_flip_mode_and_rank_striding(tmp_path):
     n = extract_c2i_tree(out, iter(samples), vq_params, cfg, image_size=S,
                          use_ten_crop=False, batch_images=8,
                          process_index=1, process_count=2)
-    assert n == 1 + 3 * 2
+    # returns the per-rank SAMPLE COUNT (not the next strided index)
+    assert n == 3
     prefix = os.path.join(out, f"imagenet{S}")
     assert sorted(os.listdir(f"{prefix}_codes")) == ["1.npy", "3.npy", "5.npy"]
     c = np.load(f"{prefix}_codes/1.npy")
