@@ -79,11 +79,19 @@ def hf_semantic_segmenter(
 def make_segmenter(
     spec: str, device: str = "cpu", label_offset: Optional[int] = None
 ) -> Callable[[np.ndarray], np.ndarray]:
-    """spec: a local transformers model directory. The ADE20K 1-based label
-    convention is applied automatically when the config says 150 classes and
-    no explicit offset is given."""
+    """spec: a local transformers model directory, or an mmseg `.pth`
+    checkpoint (the reference's exact reward models — Mask2Former-SwinL-ADE /
+    DeepLabV3-R101-COCOStuff — load via convert/mmseg_seg.py). The ADE20K
+    1-based label convention is applied automatically when the model has 150
+    classes and no explicit offset is given."""
     import json
     import os
+
+    if spec.endswith((".pth", ".pt")) and os.path.isfile(spec):
+        from controlar_tpu.convert.mmseg_seg import load_mmseg_segmenter
+
+        return load_mmseg_segmenter(spec, device=device,
+                                    label_offset=label_offset)
 
     offset = label_offset
     if offset is None:
