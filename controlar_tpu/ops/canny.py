@@ -69,11 +69,17 @@ def canny(
     img = img.astype(jnp.int32)
     dx, dy = _sobel_pair(img)  # (B, H, W, C)
     mag_c = jnp.abs(dx) + jnp.abs(dy)
-    # multi-channel: pick the channel with max magnitude per pixel
-    ch = jnp.argmax(mag_c, axis=-1, keepdims=True)
-    mag = jnp.take_along_axis(mag_c, ch, axis=-1)[..., 0]
-    dxs = jnp.take_along_axis(dx, ch, axis=-1)[..., 0]
-    dys = jnp.take_along_axis(dy, ch, axis=-1)[..., 0]
+    # multi-channel: pick the channel with max magnitude per pixel.
+    # NOT take_along_axis(argmax): a gather along the minor C axis lowers to
+    # a scalar-core s32 gather on TPU (~32 ms per call at (8,512,512,3) —
+    # it dominated the XL-512 train-step profile). A first-max one-hot
+    # select is pure VPU work; cumsum==1 reproduces argmax's first-hit
+    # tie-break exactly.
+    is_max = mag_c == jnp.max(mag_c, axis=-1, keepdims=True)
+    sel = is_max & (jnp.cumsum(is_max.astype(jnp.int32), axis=-1) == 1)
+    mag = jnp.sum(jnp.where(sel, mag_c, 0), axis=-1)
+    dxs = jnp.sum(jnp.where(sel, dx, 0), axis=-1)
+    dys = jnp.sum(jnp.where(sel, dy, 0), axis=-1)
 
     # int32 suffices: |sobel| <= 4*255, so y <= 1020<<15 ~ 3.3e7 and
     # tg67x <= 1020*13573 + 2040<<15 ~ 8.1e7, well inside int32.
