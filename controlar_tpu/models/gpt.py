@@ -240,8 +240,6 @@ def _attend_blockwise(
     (the TPU answer to the reference's F.scaled_dot_product_attention flash
     path, ref gpt_t2i.py:282-286). Causal + optional per-key column mask
     with the diagonal exception — exactly build_t2i_attn_mask's semantics."""
-    from controlar_tpu.ops.flash_train import flash_attention_train
-
     b, t, nh, hd = q.shape
     if cfg.kv_heads != nh:
         rep = nh // cfg.kv_heads
@@ -249,7 +247,20 @@ def _attend_blockwise(
         v = jnp.repeat(v, rep, axis=2)
     if key_valid is not None:
         key_valid = key_valid[:, :t]  # callers may pass the unsliced column mask
-    out = flash_attention_train(q, k, v, key_valid)
+    if jax.default_backend() == "tpu":
+        # Pallas kernel: score tiles + softmax statistics stay in VMEM (the
+        # XLA-blockwise path below re-reads every fp32 (qb, kb) tile from
+        # HBM — it dominated the XL-512 train-step profile). Identical loss
+        # and parameter gradients; see ops/flash_train_pallas.py for the
+        # loss-invariant masked-row treatment.
+        from controlar_tpu.ops.flash_train_pallas import (
+            flash_attention_train_pallas)
+
+        out = flash_attention_train_pallas(q, k, v, key_valid)
+    else:
+        from controlar_tpu.ops.flash_train import flash_attention_train
+
+        out = flash_attention_train(q, k, v, key_valid)
     return out.reshape(b, t, nh * hd)
 
 
@@ -283,6 +294,15 @@ def block_forward(
     """
     x = rms_norm(h, lp["attention_norm"], cfg.norm_eps)
     q, k, v = _qkv(lp, cfg, x, rope_slice)
+    # named for the "qkv" remat policy (save q/k/v, recompute the rest):
+    # skips re-running the wqkv matmul + rope during the backward pass at
+    # 3*(B,T,dim) bf16 per layer of extra HBM — the midpoint between
+    # remat=full (fits, max recompute) and remat=dots (OOM at XL-512 b8)
+    from jax.ad_checkpoint import checkpoint_name
+
+    q = checkpoint_name(q, "qkv")
+    k = checkpoint_name(k, "qkv")
+    v = checkpoint_name(v, "qkv")
     if kv_cache is not None:
         k_cache, v_cache = kv_cache
         k_cache = jax.lax.dynamic_update_slice(
@@ -371,8 +391,15 @@ def _scan_layers(
     if remat:
         # policy selection (SURVEY aux: remat tuning): "full" recomputes the
         # whole layer; "dots" saves matmul outputs and recomputes only the
-        # cheap elementwise chain (more HBM, fewer backward FLOPs)
-        if remat == "dots":
+        # cheap elementwise chain (more HBM, fewer backward FLOPs); "qkv"
+        # saves only the rope'd q/k/v (skips the wqkv matmul recompute at a
+        # quarter of dots' extra HBM)
+        if remat == "qkv":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names("qkv"),
+            )
+        elif remat == "dots":
             body = jax.checkpoint(
                 body,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
