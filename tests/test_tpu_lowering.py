@@ -171,3 +171,36 @@ def test_serve_quantum_and_admission_lower_for_tpu(stacked):
         jnp.ones((k,), jnp.float32), jnp.ones((k,), jnp.float32),
         jnp.zeros((k,), jnp.uint32),
     ).lower(lowering_platforms=("tpu",))
+
+
+def test_flash_train_pallas_lowers_for_tpu():
+    from controlar_tpu.ops.flash_train_pallas import (
+        flash_attention_train_pallas)
+
+    q = jnp.zeros((2, 320, H, D), jnp.bfloat16)
+    kv_mask = jnp.ones((2, 320), bool)
+
+    def f(q, k, v, m):
+        out = flash_attention_train_pallas(q, k, v, m, q_block=128,
+                                           k_block=128)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    # fwd + both bwd kernels lower (grad traces the custom VJP)
+    _lowers(jax.grad(f, argnums=(0, 1, 2)), q, q, q, kv_mask)
+
+
+def test_flash_chunk_q4_lowers_for_tpu():
+    from controlar_tpu.ops.flash_chunk import flash_chunk_attention_q4
+
+    w = kv4_row_width(H, D)
+    q = jnp.zeros((B, 3, HD), jnp.bfloat16)
+    kv4 = jnp.zeros((B, S, 2 * w), jnp.int8)
+    sc = jnp.zeros((B, S, SP), jnp.float32)
+    pos = jnp.asarray([1] * B, jnp.int32)
+    cb = jnp.zeros((B, S), jnp.float32)
+    for split in (False, True):
+        _lowers(lambda a, b, c, d: flash_chunk_attention_q4(
+            a, b, c, d, None, n_head=H, head_dim=D, split=split),
+            q, kv4, sc, pos)
+    _lowers(lambda a, b, c, d, e: flash_chunk_attention_q4(
+        a, b, c, d, e, n_head=H, head_dim=D), q, kv4, sc, pos, cb)
