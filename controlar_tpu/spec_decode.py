@@ -109,10 +109,6 @@ def forward_chunk(
         # kv_rows (B, K, 2*HD')
         if isinstance(cache, dict):
             kk_ = dec._cache_kv_key(cache)
-            if kk_ == "kv4" and use_flash:
-                raise NotImplementedError(
-                    "kv4 flash chunk attention not implemented; use the int8 "
-                    "cache for speculative/chunked paths or use_flash=False")
             q_rows, s_rows = dec._quantize_rows_for(cache, kv_rows,
                                                     cfg.kv_heads, split=split)
             if use_flash:
@@ -155,12 +151,19 @@ def forward_chunk(
         if use_flash:
             from controlar_tpu.ops.flash_chunk import (
                 flash_chunk_attention,
+                flash_chunk_attention_q4,
                 flash_chunk_attention_q8,
             )
 
             col_bias = (None if col_mask_full is None else
                         jnp.where(col_mask_full, 0.0, -1e9).astype(jnp.float32))
-            if isinstance(kvs[l], dict):
+            if isinstance(kvs[l], dict) and "kv4" in kvs[l]:
+                attn = flash_chunk_attention_q4(
+                    q.reshape(b, k, hd), kvs[l]["kv4"], kvs[l]["s"], pos,
+                    col_bias, n_head=cfg.n_head, head_dim=cfg.head_dim,
+                    split=split,
+                ).astype(h.dtype)
+            elif isinstance(kvs[l], dict):
                 attn = flash_chunk_attention_q8(
                     q.reshape(b, k, hd), kvs[l]["kv"], kvs[l]["s"], pos,
                     col_bias, n_head=cfg.n_head,

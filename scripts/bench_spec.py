@@ -143,11 +143,11 @@ def main():
         print(f"{args.target} {mode}: vanilla {t_van:.3f} s "
               f"({t_van / args.batch:.3f} s/img)", flush=True)
 
-        # kv4 has no chunk-verify kernel (spec_decode gate): the spec arm
-        # of the w4 mode runs w4 weights + int8 KV, while its vanilla
-        # comparator keeps the full w4+kv4 config. Recorded per-k below as
-        # spec_cache so the JSON states the (possibly mismatched) configs.
-        spec_cache = (jnp.int8 if cache_dtype == jnp.int4 else cache_dtype)
+        # round 5: the kv4 chunk-verify kernel exists (ops/flash_chunk.py
+        # flash_chunk_attention_q4), so the spec arm now runs the SAME cache
+        # config as its vanilla comparator in every mode. Both dtypes are
+        # still recorded in the JSON.
+        spec_cache = cache_dtype
         mrow["vanilla_cache"] = np.dtype(cache_dtype).name
         for k in [int(x) for x in args.k.split(",")]:
             stats_holder = {}

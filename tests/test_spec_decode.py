@@ -216,6 +216,41 @@ def test_flash_chunk_q8_matches_dequant():
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
+def test_flash_chunk_q4_matches_dequant():
+    """kv4 chunk-verify kernel vs the dequantized bf16 chunk kernel, both
+    pair layouts, with and without the prefix column bias."""
+    from controlar_tpu.ops.flash_chunk import (
+        flash_chunk_attention, flash_chunk_attention_q4)
+    from controlar_tpu.quant import dequantize_kv4_slab, quantize_kv_rows_4
+    from controlar_tpu import decode as dec
+
+    rng = np.random.default_rng(2)
+    B, K, H, D, S = 2, 3, 2, 8, 128
+    hd = H * D
+    kv = rng.standard_normal((B, S, 2 * hd)).astype(np.float32)
+    q = rng.standard_normal((B, K, hd)).astype(np.float32) * 0.5
+    pos = np.asarray([10, 90], np.int32)
+    col_bias = np.zeros((B, S), np.float32)
+    col_bias[:, :4] = -1e9  # left-padded prefix columns
+
+    for split in (False, True):
+        # split only changes which dims share a carrier byte; quantize->
+        # dequantize is layout-preserving in both modes, so deq compares
+        # against the same raw kv either way
+        q4, scales = quantize_kv_rows_4(jnp.asarray(kv), H, split=split)
+        scales = dec._pad_scales(scales, H)
+        deq = dequantize_kv4_slab(q4, scales, H, D, jnp.float32, split=split)
+        for bias in (None, jnp.asarray(col_bias)):
+            want = np.asarray(flash_chunk_attention(
+                jnp.asarray(q), deq.astype(jnp.bfloat16), jnp.asarray(pos),
+                bias, n_head=H, block=64, interpret=True))
+            got = np.asarray(flash_chunk_attention_q4(
+                jnp.asarray(q), q4, scales, jnp.asarray(pos), bias,
+                n_head=H, head_dim=D, block=64, interpret=True,
+                split=split))
+            np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_cache_append_block_interpret():
     """K-row RMW block append == vmapped dynamic_update_slice."""
     import functools
