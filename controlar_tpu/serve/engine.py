@@ -91,6 +91,20 @@ class ServeConfig:
     # array + ONE grid-(L,B) append kernel per stream per step, instead of a
     # pallas_call per layer per stream (decode._decode_step_multi_stacked)
     kv_stacked: bool = False
+    # Overlapped admission (the vLLM-fork admits every step,
+    # ref llm_engine.py:511-583; our quantum batches steps): when True,
+    # step() never blocks on the quantum's tokens. Slot completion is
+    # length-based and therefore DETERMINISTIC at enqueue time, so the
+    # scheduler runs ahead of the device: admission programs and the next
+    # quantum are enqueued while the previous quantum executes (sequenced on
+    # device by the donated cache dependency), and token buffers are drained
+    # lazily via jax.Array.is_ready(). This removes the host round-trip from
+    # every quantum boundary, which is what made small quanta (frequent
+    # admission opportunities -> low empty-slot waste) expensive on a
+    # tunneled host.
+    overlap_admission: bool = False
+    # max quantum programs in flight before step() blocks on the oldest
+    overlap_depth: int = 2
     # persistent XLA compilation cache (cuts the one-time quantum compile to
     # a disk load on every process after the first)
     compilation_cache_dir: Optional[str] = None
@@ -130,6 +144,9 @@ class ServeEngine:
         self.outputs: Dict[int, List[int]] = {}
         self.waiting: "queue.deque[Request]" = __import__("collections").deque()
         self.finished: List[Request] = []
+        # overlapped-admission pipeline: ("admit"|"quantum", device_array,
+        # metadata) in enqueue order; drained lazily (see _drain)
+        self._inflight = __import__("collections").deque()
         # device-step accounting: slot_steps counts every (slot, step) the
         # device computed; useful_steps those that emitted a kept token.
         # 1 - useful/slot = combined empty-slot + frozen-tail waste.
@@ -144,7 +161,8 @@ class ServeEngine:
         self.waiting.append(req)
 
     def has_unfinished(self) -> bool:
-        return bool(self.waiting) or self.active.any()
+        return (bool(self.waiting) or bool(self.active.any())
+                or bool(self._inflight))
 
     # ------------------------------------------------------------------
     def _filtered(self, logits):
@@ -277,13 +295,46 @@ class ServeEngine:
             jnp.asarray([r.control_strength for r in reqs], jnp.float32),
             jnp.asarray([np.uint32(r.seed) for r in reqs], jnp.uint32),
         )
-        tok = jax.device_get(tok)  # ONE host sync for the whole group
         for i in range(k_real):
             req, slot = reqs[i], int(slot_idx[i])
             self.active[slot] = True
             self.emitted[slot] = 1
             self.slot_req[slot] = req
-            self.outputs[req.request_id] = [int(tok[i])]
+            self.outputs[req.request_id] = []
+        meta = [(reqs[i], i) for i in range(k_real)]
+        if self.scfg.overlap_admission:
+            self._inflight.append(("admit", tok, meta))
+        else:
+            self._collect("admit", jax.device_get(tok), meta)
+
+    # ------------------------------------------------------------------
+    def _collect(self, kind, arr, meta):
+        """Apply a drained device buffer to host-side outputs."""
+        import time as _time
+
+        if kind == "admit":
+            for req, i in meta:
+                self.outputs[req.request_id].append(int(arr[i]))
+        else:  # quantum: arr (q, slots), meta [(slot, req, take, done)]
+            for slot, req, take, done in meta:
+                self.outputs[req.request_id].extend(
+                    int(t) for t in arr[:take, slot])
+                if done:
+                    req.tokens = np.asarray(
+                        self.outputs.pop(req.request_id), np.int32)
+                    req.t_done = _time.time()
+                    self.finished.append(req)
+
+    def _drain(self, block: bool):
+        """Collect inflight device buffers: all that are already ready, plus
+        (when block=True) at least the oldest one."""
+        while self._inflight:
+            kind, arr, meta = self._inflight[0]
+            if not block and not arr.is_ready():
+                return
+            self._inflight.popleft()
+            self._collect(kind, jax.device_get(arr), meta)
+            block = False  # only the oldest is forced
 
     # ------------------------------------------------------------------
     @partial(jax.jit, static_argnames=("self", "q"), donate_argnums=(1,))
@@ -348,10 +399,18 @@ class ServeEngine:
 
     def step(self):
         """One scheduler iteration: group-admit -> decode quantum ->
-        collect."""
-        import time as _time
+        collect.
 
+        Slot state (active/emitted) advances EAGERLY at enqueue time — image
+        generation emits exactly block_size tokens, so completion is known
+        without looking at the sampled values. In overlap mode the token
+        buffers are fetched lazily (bounded by overlap_depth) and step()
+        returns as soon as the device programs are enqueued.
+        """
+        overlap = self.scfg.overlap_admission
         n = self.scfg.max_slots
+        if overlap:
+            self._drain(block=False)
         free = [s for s in range(n) if not self.active[s]]
         group, slots = [], []
         while free and self.waiting:
@@ -360,7 +419,13 @@ class ServeEngine:
         if group:
             self._admit_group(group, slots)
         if not self.active.any():
+            if overlap:
+                self._drain(block=bool(self._inflight))
             return
+        if overlap:
+            n_quanta = sum(1 for k, _, _ in self._inflight if k == "quantum")
+            if n_quanta >= self.scfg.overlap_depth:
+                self._drain(block=True)
         q = self._pick_quantum()
         active2 = jnp.asarray(np.concatenate([self.active, self.active]))
         self.caches, self.pos, self.cur_tok, toks = self._quantum_jit(
@@ -368,22 +433,30 @@ class ServeEngine:
             self.cfg_scales, self.strengths, active2, self.seeds, self.col_mask,
             q=q,
         )
-        toks = jax.device_get(toks)  # (q, slots)
         self.stats["slot_steps"] += q * n
+        meta = []
         for s in range(n):
             if not self.active[s]:
                 continue
             req = self.slot_req[s]
             take = min(q, self.cfg.block_size - self.emitted[s])
             self.stats["useful_steps"] += take
-            self.outputs[req.request_id].extend(int(t) for t in toks[:take, s])
             self.emitted[s] += take
-            if self.emitted[s] >= self.cfg.block_size:
-                req.tokens = np.asarray(self.outputs.pop(req.request_id), np.int32)
-                req.t_done = _time.time()
-                self.finished.append(req)
+            done = self.emitted[s] >= self.cfg.block_size
+            meta.append((s, req, take, done))
+            if done:
                 self.active[s] = False
                 self.slot_req[s] = None
+        if overlap:
+            self._inflight.append(("quantum", toks, meta))
+        else:
+            self._collect("quantum", jax.device_get(toks), meta)
+
+    def flush(self):
+        """Block until every inflight device buffer is collected."""
+        self._drain(block=True)
+        while self._inflight:
+            self._drain(block=True)
 
     def run(self, requests: List[Request]) -> List[Request]:
         """Offline batch entry (ref LLM.generate, serve/llm.py:138-219)."""

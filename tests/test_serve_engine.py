@@ -265,3 +265,46 @@ def test_occupancy_quantum_policy():
                               seed=i) for i in range(6)])
     for a, b in zip(done, done2):
         np.testing.assert_array_equal(a.tokens, b.tokens)
+
+
+def test_overlap_admission_matches_sync():
+    """overlap_admission=True pipelines enqueue/drain but must produce
+    token-identical outputs and identical device-step accounting to the
+    synchronous engine (sampling is per-request-seed, scheduling-state
+    independent)."""
+    params = jgpt.init_gpt_params(jax.random.PRNGKey(1), CFG)
+    rng = np.random.default_rng(3)
+    n_req = 7
+    labels = rng.integers(0, 10, n_req)
+
+    def run(overlap):
+        eng = ServeEngine(
+            params, CFG,
+            ServeConfig(max_slots=2, quantum=5, top_k=8,
+                        cache_dtype=jnp.float32, use_flash=False,
+                        overlap_admission=overlap, overlap_depth=2),
+        )
+        reqs = [Request(request_id=i, label=int(labels[i]), cfg_scale=2.0,
+                        seed=100 + i) for i in range(n_req)]
+        # staggered: half up front, the rest added mid-flight
+        for r in reqs[:3]:
+            eng.add_request(r)
+        steps = 0
+        while eng.has_unfinished():
+            eng.step()
+            steps += 1
+            if steps == 2:
+                for r in reqs[3:]:
+                    eng.add_request(r)
+        if overlap:
+            eng.flush()
+        done = sorted(eng.finished, key=lambda r: r.request_id)
+        return done, dict(eng.stats)
+
+    done_s, stats_s = run(False)
+    done_o, stats_o = run(True)
+    assert len(done_o) == n_req == len(done_s)
+    for a, b in zip(done_s, done_o):
+        assert a.request_id == b.request_id
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+    assert stats_s == stats_o
