@@ -15,6 +15,21 @@ Metrics per mode:
   greedy rollout first diverges from the bf16 rollout (divergence compounds
   autoregressively, so this is the stricter, noisier number).
 - max relative logit error over the teacher-forced positions.
+- SAMPLED agreement (matched noise): serving samples at temperature/top-k,
+  so greedy-only evidence is too soft — a tiny logit perturbation near a
+  50/50 top-2 tie never flips argmax order but does flip samples. Shared
+  Gumbel noise (the coupling that maximizes agreement between the two
+  distributions) is added to both logit sets and the argmaxes compared:
+  teacher-forced `sampled_agreement` plus a matched-seed free-running
+  sampled rollout (`sampled_free_match` / `sampled_survival`).
+- per-position profile: agreement over the first/middle/last thirds of the
+  sequence plus the worst position (`pos_agree_thirds`, `pos_agree_min`) —
+  mid-sequence positions on real data have flatter margins and fail first.
+
+Ship threshold (docs/quant_stress.md): a mode ships by default only if
+teacher-forced agreement >= 0.99 AND sampled agreement >= 0.95 on trained
+weights at the serving workload; verify-zoo --quant-report applies the same
+bar to released checkpoints.
 """
 from __future__ import annotations
 
@@ -61,17 +76,28 @@ def measure_quant_agreement(
     modes: Sequence[str] = ("int8", "int8+kv8", "w4", "w4+kv8"),
     max_new_tokens: Optional[int] = None,
     cfg_scale: float = 1.0,
+    sample_temperature: float = 1.0,
+    sample_top_k: int = 2000,
 ) -> Dict[str, Dict[str, float]]:
     """params: bf16 GPT params (stacked). Returns {mode: metrics}.
 
     cfg_scale=1.0 scores the conditional branch only (agreement on the raw
     model); CFG mixing is a linear map of two logit vectors so its agreement
-    tracks the raw number closely.
+    tracks the raw number closely. Sampled metrics use the serving defaults
+    (temperature 1.0, top-k 2000, ref generate.py:59-74 semantics).
     """
+    from controlar_tpu.ops.sampling import top_k_top_p_filter
+
     n_new = max_new_tokens or cfg.block_size
     if labels is None:
         labels = jnp.arange(4) % max(cfg.num_classes, 1)
     assert cfg.model_type == "c2i", "gate runs on the c2i surface"
+
+    def sampled_argmax(logits, gumbel):
+        f = top_k_top_p_filter(
+            logits.astype(jnp.float32) / max(sample_temperature, 1e-5),
+            top_k=sample_top_k, top_p=1.0)
+        return jnp.argmax(f + gumbel, axis=-1)
 
     # Work entirely on the unstacked tree: pass an already-unstacked tree
     # (decode.unstack_layers) from the caller and the stacked copy never
@@ -87,6 +113,17 @@ def measure_quant_agreement(
         rng=jax.random.PRNGKey(0), use_flash=False)
     ref_logits = _teacher_forced_logits(base, cfg, prefix, ref_tokens)
     ref_arg = jnp.argmax(ref_logits, -1)
+    # shared Gumbel noise: the maximal coupling of the two sampling
+    # distributions — agreement gaps are genuine distribution shifts
+    gumbel = jax.random.gumbel(jax.random.PRNGKey(17), ref_logits.shape,
+                               jnp.float32)
+    ref_samp = sampled_argmax(ref_logits, gumbel)
+    sample_rng = jax.random.PRNGKey(7)
+    ref_roll = jgen.generate(
+        base, cfg, labels=labels, max_new_tokens=n_new,
+        cfg_scale=cfg_scale, sample_logits=True,
+        temperature=sample_temperature, top_k=sample_top_k,
+        rng=sample_rng, use_flash=False)
 
     out: Dict[str, Dict[str, float]] = {}
     for mode in modes:
@@ -106,31 +143,61 @@ def measure_quant_agreement(
         denom = float(jnp.abs(ref_logits).max())
         logit_rel = float(jnp.abs(q_logits - ref_logits).max()) / max(denom, 1e-9)
 
+        # per-position teacher-forced agreement: mid/late positions have
+        # flatter margins on real data and fail first
+        pos_agree = np.asarray(
+            (jnp.argmax(q_logits, -1) == ref_arg).mean(axis=0))  # (N,)
+        third = max(len(pos_agree) // 3, 1)
+        thirds = [float(pos_agree[i * third:(i + 1) * third or None].mean())
+                  for i in range(3)]
+
+        samp_agree = float((sampled_argmax(q_logits, gumbel)
+                            == ref_samp).mean())
+
         q_tokens = jgen.generate(
             qp, cfg, labels=labels, max_new_tokens=n_new,
             cfg_scale=cfg_scale, sample_logits=False,
             rng=jax.random.PRNGKey(0), use_flash=False,
             cache_dtype=cache_dtype)
         eq = np.asarray(q_tokens) == np.asarray(ref_tokens)
-        # tokens until first divergence, per row
-        survival = np.argmin(np.concatenate(
-            [eq, np.zeros((eq.shape[0], 1), bool)], axis=1), axis=1)
+
+        q_roll = jgen.generate(
+            qp, cfg, labels=labels, max_new_tokens=n_new,
+            cfg_scale=cfg_scale, sample_logits=True,
+            temperature=sample_temperature, top_k=sample_top_k,
+            rng=sample_rng, use_flash=False, cache_dtype=cache_dtype)
+        eq_s = np.asarray(q_roll) == np.asarray(ref_roll)
+
+        def survival(m):
+            # tokens until first divergence, per row
+            return float(np.argmin(np.concatenate(
+                [m, np.zeros((m.shape[0], 1), bool)], axis=1), axis=1).mean())
+
         out[mode] = {
             "teacher_forced_agreement": agree,
             "max_rel_logit_err": logit_rel,
-            "mean_prefix_survival": float(survival.mean()),
+            "mean_prefix_survival": survival(eq),
             "free_running_match": float(eq.mean()),
+            "sampled_agreement": samp_agree,
+            "sampled_free_match": float(eq_s.mean()),
+            "sampled_survival": survival(eq_s),
+            "pos_agree_thirds": thirds,
+            "pos_agree_min": float(pos_agree.min()),
         }
-        del qp, q_logits, q_tokens  # free before quantizing the next mode
+        del qp, q_logits, q_tokens, q_roll  # free before the next mode
     return out
 
 
 def format_report(report: Dict[str, Dict[str, float]]) -> str:
-    lines = ["mode  tf-agree  logit-rel-err  prefix-survival  free-match"]
+    lines = ["mode     tf-agree  samp-agree  logit-rel-err  prefix-surv"
+             "  free-match  samp-match  pos-thirds"]
     for mode, m in report.items():
+        thirds = "/".join(f"{x:.2f}" for x in m.get("pos_agree_thirds", []))
         lines.append(
-            f"{mode:5s} {m['teacher_forced_agreement']:8.3f} "
+            f"{mode:8s} {m['teacher_forced_agreement']:8.3f} "
+            f"{m.get('sampled_agreement', float('nan')):10.3f} "
             f"{m['max_rel_logit_err']:13.4f} "
-            f"{m['mean_prefix_survival']:15.1f} "
-            f"{m['free_running_match']:10.3f}")
+            f"{m['mean_prefix_survival']:11.1f} "
+            f"{m['free_running_match']:10.3f} "
+            f"{m.get('sampled_free_match', float('nan')):10.3f}  {thirds}")
     return "\n".join(lines)

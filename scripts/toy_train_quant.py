@@ -36,6 +36,34 @@ def toy_tokens(rng, labels, block_size, vocab_size, noise=0.1):
     return np.where(noise_mask, rand, base).astype(np.int32)
 
 
+CHAIN_STATES = 512  # deterministic-transition sub-vocab of the chain task
+
+
+def toy_tokens_chain(rng, labels, block_size, vocab_size, noise=0.25):
+    """Markov-chain task with genuinely mixed-entropy positions.
+
+    t_i = f(t_{i-1} % 512, label) deterministically, except with prob
+    `noise` the token is uniform over the FULL vocab (and the chain reseeds
+    from it). A converged model emits ~(1-noise)-confident tokens on chain
+    steps and a flat 16k-tail at every position — the near-tie regime where
+    tiny quantization logit shifts flip samples (and sometimes argmax),
+    unlike the `basic` task whose converged logits are uniformly sharp.
+    """
+    import numpy as np
+
+    b = len(labels)
+    toks = np.zeros((b, block_size), np.int64)
+    prev = (labels.astype(np.int64) * 131) % CHAIN_STATES
+    for t in range(block_size):
+        det = (prev * 31 + labels * 97 + 7) % CHAIN_STATES
+        noisy = rng.random(b) < noise
+        rand = rng.integers(0, vocab_size, b)
+        tok = np.where(noisy, rand, det)
+        toks[:, t] = tok
+        prev = tok % CHAIN_STATES
+    return toks.astype(np.int32)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", default="GPT-B")
@@ -46,6 +74,13 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--num-classes-used", type=int, default=16)
     ap.add_argument("--noise", type=float, default=0.1)
+    ap.add_argument("--task", default="basic", choices=["basic", "chain"],
+                    help="chain: Markov task with a flat 16k-vocab noise "
+                         "tail at every position (mixed-entropy logits)")
+    ap.add_argument("--mid-ckpt-frac", type=float, default=0.0,
+                    help="also snapshot params at this fraction of training "
+                         "(higher-entropy checkpoint) and report quant "
+                         "agreement on it")
     ap.add_argument("--optimizer", default="adamw",
                     choices=["adamw", "adafactor"],
                     help="adafactor: near-zero optimizer state; lets GPT-3B "
@@ -98,6 +133,9 @@ def main():
         state = init_train_state(rng, cfg, tx, params=params)
         step = jax.jit(make_train_step(cfg, tx), donate_argnums=0)
 
+        task_fn = toy_tokens_chain if args.task == "chain" else toy_tokens
+        mid_step = (int(args.steps * args.mid_ckpt_frac)
+                    if args.mid_ckpt_frac > 0 else -1)
         nprng = np.random.default_rng(0)
         t0 = time.perf_counter()
         losses = []
@@ -105,10 +143,16 @@ def main():
             labels = nprng.integers(0, args.num_classes_used, args.batch)
             batch = {
                 "labels": labels.astype(np.int32),
-                "tokens": toy_tokens(nprng, labels, cfg.block_size,
-                                     cfg.vocab_size, args.noise),
+                "tokens": task_fn(nprng, labels, cfg.block_size,
+                                  cfg.vocab_size, args.noise),
             }
             state, m = step(state, batch, jax.random.PRNGKey(1))
+            if i == mid_step:
+                # host snapshot (no extra HBM) of the higher-entropy model
+                mid_params = jax.device_get(
+                    jax.tree.map(lambda p: jnp.asarray(p, jnp.bfloat16),
+                                 state.params))
+                print(f"step {i}: mid-training snapshot taken", flush=True)
             if i % 50 == 0 or i == args.steps - 1:
                 l = float(jax.device_get(m["loss"]))
                 losses.append(l)
@@ -128,7 +172,8 @@ def main():
         print(f"saved trained params to {args.ckpt_out}", flush=True)
 
     out = {"size": args.size, "steps": args.steps, "final_loss": final_loss,
-           "optimizer": args.optimizer, "losses": losses}
+           "optimizer": args.optimizer, "task": args.task,
+           "noise": args.noise, "losses": losses}
     if not args.skip_quant:
         from controlar_tpu import decode as dec
         from controlar_tpu.eval.quant_report import (
@@ -142,6 +187,23 @@ def main():
             max_new_tokens=args.max_new_tokens)
         print(format_report(report))
         out["quant_report"] = report
+
+        if args.mid_ckpt_frac > 0 and not args.load_ckpt:
+            del params_bf16
+            dec._UNSTACK_CACHE.clear()
+            if args.ckpt_out:
+                from controlar_tpu.tools import export_params_npz
+
+                export_params_npz(mid_params, args.ckpt_out + "_mid")
+            mid_tree = dec.unstack_layers(
+                jax.tree.map(jnp.asarray, mid_params))
+            mid_report = measure_quant_agreement(
+                mid_tree, cfg, modes=tuple(args.quant_modes.split(",")),
+                max_new_tokens=args.max_new_tokens)
+            print(f"mid-training ckpt (step {mid_step}):")
+            print(format_report(mid_report))
+            out["quant_report_mid"] = mid_report
+            out["mid_step"] = mid_step
 
     if args.json_out:
         with open(args.json_out, "w") as f:
