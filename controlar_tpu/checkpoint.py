@@ -36,13 +36,59 @@ def load_torch_file(path: str) -> Dict[str, np.ndarray]:
             for k, v in sd.items()}
 
 
+def load_native_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a NATIVE checkpoint: a .npz param dump (tools.export_params_npz)
+    or an orbax training directory (a step_XXXXXXXX dir, or a results dir
+    containing them — the latest step wins). Returns the raw pytree; orbax
+    TrainStates keep their {step, params, ...} structure."""
+    if path.endswith(".npz"):
+        from controlar_tpu.tools import import_params_npz
+
+        return import_params_npz(path)
+    import orbax.checkpoint as ocp
+
+    p = os.path.abspath(path)
+    if not os.path.basename(p).startswith("step_"):
+        sub = os.path.join(p, "checkpoints")
+        if os.path.isdir(sub):
+            p = sub
+        steps = sorted(d for d in os.listdir(p) if d.startswith("step_"))
+        if steps:
+            p = os.path.join(p, steps[-1])
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(p)
+
+
+def native_gpt_params(tree: Dict[str, Any]):
+    """Pull GPT params out of a native checkpoint tree (TrainState, EMA-first
+    when present, or a bare param tree)."""
+    params = tree.get("ema_params") or tree.get("params") or tree
+    if isinstance(params, dict) and "gpt" in params:
+        return params["gpt"]
+    return params
+
+
+def _is_native(path: str) -> bool:
+    return path.endswith(".npz") or os.path.isdir(path)
+
+
 def load_gpt_checkpoint(path: str, cfg) -> Dict[str, Any]:
+    if _is_native(path):
+        return native_gpt_params(load_native_checkpoint(path))
     from controlar_tpu.convert.torch_gpt import convert_gpt_state_dict
 
     return convert_gpt_state_dict(load_torch_file(path), cfg)
 
 
 def load_vq_checkpoint(path: str, cfg) -> Dict[str, Any]:
+    if _is_native(path):
+        tree = load_native_checkpoint(path)
+        # VQTrainState keys (train/vq_step.py); EMA-first like the GPT side
+        if isinstance(tree, dict):
+            for key in ("ema_params", "vq_params", "params"):
+                if tree.get(key) is not None:
+                    return tree[key]
+        return tree
     from controlar_tpu.convert.torch_vq import convert_vq_state_dict
 
     return convert_vq_state_dict(load_torch_file(path), cfg)

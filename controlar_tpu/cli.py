@@ -91,10 +91,19 @@ def _build_pipeline(args, model_type: str):
     vcfg = vq_config("VQ-16")
     rng = jax.random.PRNGKey(args.seed)
 
+    native_adapter = None
     if args.gpt_ckpt:
         gpt_params = jax.tree.map(
             jnp.asarray, ckpt_lib.load_gpt_checkpoint(args.gpt_ckpt, gcfg)
         )
+        # a native training checkpoint carries the fine-tuned adapter too;
+        # use it unless --adapter-ckpt overrides
+        if ckpt_lib._is_native(args.gpt_ckpt) and not args.adapter_ckpt:
+            tree = ckpt_lib.load_native_checkpoint(args.gpt_ckpt)
+            params = (tree.get("ema_params") or tree.get("params") or tree
+                      if isinstance(tree, dict) else tree)
+            if isinstance(params, dict) and params.get("adapter") is not None:
+                native_adapter = jax.tree.map(jnp.asarray, params["adapter"])
     else:
         print("[warn] no --gpt-ckpt: using random GPT weights", file=sys.stderr)
         gpt_params = gpt_model.init_gpt_params(rng, gcfg, dtype=jnp.bfloat16)
@@ -113,7 +122,9 @@ def _build_pipeline(args, model_type: str):
 
     acfg = (vit_model.DINOV2_SMALL if args.adapter_size == "small"
             else vit_model.DINOV2_BASE)
-    if args.adapter_ckpt:
+    if native_adapter is not None:
+        adapter_params = native_adapter
+    elif args.adapter_ckpt:
         from controlar_tpu.convert.torch_vit import convert_hf_vit_state_dict
 
         sd = ckpt_lib.load_torch_file(args.adapter_ckpt)
@@ -868,7 +879,7 @@ def main(argv=None):
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
     p.add_argument("--remat-policy", default="full",
-                   choices=["full", "dots", "none"])
+                   choices=["full", "qkv", "attn", "qkv_attn", "dots", "none"])
     p.add_argument("--opt-state-dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="Adam moment storage; bfloat16 halves optimizer HBM "
@@ -926,7 +937,7 @@ def main(argv=None):
     p.add_argument("--resume-dir", default=None)
     p.add_argument("--ema", action="store_true")
     p.add_argument("--remat-policy", default="full",
-                   choices=["full", "dots", "none"])
+                   choices=["full", "qkv", "attn", "qkv_attn", "dots", "none"])
     p.add_argument("--opt-state-dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--dist-coordinator", default=None)

@@ -399,6 +399,21 @@ def _scan_layers(
                 body,
                 policy=jax.checkpoint_policies.save_only_these_names("qkv"),
             )
+        elif remat == "attn":
+            # save the Pallas attention kernel's (out, lse) residuals: the
+            # backward never re-runs the attention forward; everything else
+            # (plain MXU matmuls) is recomputed. ~1 GB extra at XL-512 b8.
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_res"),
+            )
+        elif remat == "qkv_attn":
+            body = jax.checkpoint(
+                body,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "qkv", "attn_res"),
+            )
         elif remat == "dots":
             body = jax.checkpoint(
                 body,

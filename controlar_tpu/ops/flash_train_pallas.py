@@ -246,7 +246,14 @@ def _flash_p(q, k, v, kbias, qb, kb, interpret):
 
 
 def _flash_p_fwd(q, k, v, kbias, qb, kb, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     out, lse = _fwd(q, k, v, kbias, qb, kb, interpret)
+    # named for the "attn" remat policy: saving (out, lse) lets layer-level
+    # rematerialization skip re-running this kernel entirely (the VJP's only
+    # other residuals, q/k/v, are regenerated by the cheap wqkv matmul)
+    out = checkpoint_name(out, "attn_res")
+    lse = checkpoint_name(lse, "attn_res")
     return out, (q, k, v, kbias, out, lse)
 
 
@@ -283,9 +290,13 @@ def flash_attention_train_pallas(
     def fit_block(n, bmax):
         # smallest block that keeps the same block COUNT as bmax would,
         # minimizing padding (e.g. T=1143, bmax=512 -> 3 blocks of 384 =
-        # 1152 rows instead of 3 blocks of 512 = 1536: 34% less work)
+        # 1152 rows instead of 3 blocks of 512 = 1536: 34% less work).
+        # Blocks are 128-multiples: in-kernel dynamic slices of the lane
+        # dimension (the kbias row) must be provably 128-aligned on Mosaic.
+        if bmax < 128:  # explicit tiny blocks (tests) pass through
+            return min(bmax, _round_up(n, 8))
         nblk = -(-n // bmax)
-        return min(bmax, _round_up(-(-n // nblk), 8))
+        return min(bmax, _round_up(-(-n // nblk), 128))
 
     qb = fit_block(t, q_block)
     kb = fit_block(s_len, k_block)

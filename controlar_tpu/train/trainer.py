@@ -52,8 +52,10 @@ class TrainerConfig:
     global_batch_size: int = 32
     epochs: int = 10
     ema: bool = False
-    # backward rematerialization: "full" (recompute whole layers, min
-    # HBM), "dots" (save matmul outputs), "none" (save everything)
+    # backward rematerialization: "full" (recompute whole layers, min HBM),
+    # "qkv" (also save rope'd q/k/v), "attn" (save the flash kernel's
+    # out/lse residuals - backward never re-runs attention), "qkv_attn"
+    # (both), "dots" (save matmul outputs), "none" (save everything)
     remat_policy: str = "full"
     # Adam moment storage: "float32" (exact) or "bfloat16" (halves optimizer
     # HBM; unlocks GPT-XL 512 training on one 16 GB chip — see

@@ -8,9 +8,20 @@ import sys
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the session env may point at a TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_parallel_codegen_split_count" not in flags:
+    # 1-vCPU host: parallel LLVM codegen buys nothing and one XLA-CPU
+    # compile SEGFAULT was observed under concurrent pytest processes
+    # (NEXTSTEPS round 4 weak #6; faulthandler dump round 5). Serializing
+    # codegen removes the compile-time thread storm — mitigation + tracking,
+    # not a proven root cause (the crash never reproduced under a
+    # 3x-concurrent targeted load, with or without this flag).
+    flags = (flags + " --xla_cpu_parallel_codegen_split_count=1").strip()
+os.environ["XLA_FLAGS"] = flags
+# torch is imported by parity tests in the same process; cap its thread
+# pools too (same 1-core thread-storm hygiene)
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
 # A pytest plugin may have imported jax before this conftest ran, with the
 # session's JAX_PLATFORMS (possibly a TPU) already captured. The backend only
