@@ -247,12 +247,19 @@ def _attend_blockwise(
         v = jnp.repeat(v, rep, axis=2)
     if key_valid is not None:
         key_valid = key_valid[:, :t]  # callers may pass the unsliced column mask
-    if jax.default_backend() == "tpu":
+    import os
+
+    backend = os.environ.get("CONTROLAR_TRAIN_BLOCKWISE", "auto")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
         # Pallas kernel: score tiles + softmax statistics stay in VMEM (the
         # XLA-blockwise path below re-reads every fp32 (qb, kb) tile from
         # HBM — it dominated the XL-512 train-step profile). Identical loss
         # and parameter gradients; see ops/flash_train_pallas.py for the
         # loss-invariant masked-row treatment.
+        # CONTROLAR_TRAIN_BLOCKWISE=xla|pallas overrides the backend pick
+        # (A/B benches; Mosaic escape hatch).
         from controlar_tpu.ops.flash_train_pallas import (
             flash_attention_train_pallas)
 
@@ -422,6 +429,11 @@ def _scan_layers(
         else:
             body = jax.checkpoint(body)
     xs = (params["layers"], gate, idx, layer_ids)
+    # CONTROLAR_SCAN_UNROLL: unroll the layer scan (weight-prefetch overlap
+    # A/B on chip; measured no-win at XL-512, so default stays 1)
+    import os
+
+    unroll = int(os.environ.get("CONTROLAR_SCAN_UNROLL", unroll))
     h, _ = jax.lax.scan(body, h, xs, unroll=unroll)
     return h, None
 

@@ -190,6 +190,13 @@ def _flash(q, k, v, kbias, q_offset, qb, kb):
 
 def _flash_fwd(q, k, v, kbias, q_offset, qb, kb):
     out, lse = _fwd_core(q, k, v, kbias, q_offset, qb, kb)
+    # named so remat policy "attn" (save_only_these_names("attn_res"))
+    # keeps these residuals under the XLA backend too — the backward then
+    # never re-runs the attention forward (mirrors flash_train_pallas.py)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "attn_res")
+    lse = checkpoint_name(lse, "attn_res")
     return out, (q, k, v, kbias, out, lse)
 
 

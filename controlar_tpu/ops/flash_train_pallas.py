@@ -273,8 +273,8 @@ def flash_attention_train_pallas(
     v: jnp.ndarray,
     key_valid: Optional[jnp.ndarray] = None,
     *,
-    q_block: int = DEFAULT_Q_BLOCK,
-    k_block: int = DEFAULT_K_BLOCK,
+    q_block: Optional[int] = None,
+    k_block: Optional[int] = None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Pallas blockwise causal attention, differentiable.
@@ -286,6 +286,17 @@ def flash_attention_train_pallas(
     """
     b, t, h, d = q.shape
     s_len = k.shape[1]
+    if q_block is None or k_block is None:
+        # CONTROLAR_FLASH_QB / _KB: on-chip block-size sweeps without code
+        # edits (scripts/bench_train.py A/Bs); defaults are the swept optimum
+        import os
+
+        if q_block is None:
+            q_block = int(os.environ.get("CONTROLAR_FLASH_QB",
+                                         DEFAULT_Q_BLOCK))
+        if k_block is None:
+            k_block = int(os.environ.get("CONTROLAR_FLASH_KB",
+                                         DEFAULT_K_BLOCK))
 
     def fit_block(n, bmax):
         # smallest block that keeps the same block COUNT as bmax would,

@@ -360,17 +360,22 @@ def generate_tokens_spec(
     out0 = jnp.zeros((b, n_new + k), jnp.int32)
     out0 = out0.at[:, 0].set(tok0)
     # n = finalized tokens per logical row; cur = last finalized (unfed)
+    # it_sum counts raw while iterations (the loop runs until the SLOWEST
+    # row finishes, so iterations > mean n_new/(acc+1) — profile_spec.py
+    # needs the true count to attribute cycle time honestly)
     state0 = (caches_t, caches_d, tok0, jnp.ones((b,), jnp.int32), out0,
-              jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32))
+              jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+              jnp.zeros((), jnp.float32))
     if sample:
         state0 = state0 + (rng,)
 
     def cycle(state):
         if sample:
-            caches_t, caches_d, cur, n, out, acc_sum, cyc_sum, key = state
+            (caches_t, caches_d, cur, n, out, acc_sum, cyc_sum, it_sum,
+             key) = state
             key, kd, kv = jax.random.split(key, 3)
         else:
-            caches_t, caches_d, cur, n, out, acc_sum, cyc_sum = state
+            caches_t, caches_d, cur, n, out, acc_sum, cyc_sum, it_sum = state
         pos0 = t_cls + n - 1  # (B,) base position of the chunk
         pos0_r = rep(pos0)
 
@@ -432,7 +437,8 @@ def generate_tokens_spec(
         live = (~done).astype(jnp.float32)
         acc_sum = acc_sum + ((m + 1) * live).sum()
         cyc_sum = cyc_sum + live.sum()
-        new_state = (caches_t, caches_d, cur, n, out, acc_sum, cyc_sum)
+        new_state = (caches_t, caches_d, cur, n, out, acc_sum, cyc_sum,
+                     it_sum + 1.0)
         return new_state + ((key,) if sample else ())
 
     def cond_fn(state):
@@ -441,7 +447,7 @@ def generate_tokens_spec(
     state = jax.lax.while_loop(cond_fn, cycle, state0)
     out = state[4][:, :n_new]
     accepted_per_cycle = state[5] / jnp.maximum(state[6], 1.0)
-    return out, accepted_per_cycle
+    return out, accepted_per_cycle, state[7]
 
 
 def generate_spec(
@@ -525,7 +531,7 @@ def generate_spec(
     fused3 = fused_of(params, cfg)
     draft_fused3 = fused_of(draft_params, draft_cfg)
 
-    tokens, acc = generate_tokens_spec(
+    tokens, acc, iters = generate_tokens_spec(
         params, draft_params, cfg, draft_cfg, prefix, draft_prefix,
         fused3, draft_fused3, col_mask,
         jnp.asarray(control_strength, jnp.float32), rng,
@@ -535,7 +541,8 @@ def generate_spec(
         temperature=temperature, top_k=top_k, top_p=top_p,
     )
     if return_stats:
-        return tokens, {"accepted_per_cycle": acc, "k_draft": k_draft}
+        return tokens, {"accepted_per_cycle": acc, "k_draft": k_draft,
+                        "loop_iters": iters}
     return tokens
 
 
