@@ -251,15 +251,18 @@ def _attend_blockwise(
 
     backend = os.environ.get("CONTROLAR_TRAIN_BLOCKWISE", "auto")
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        # Measured on v5e (round 5, PERFORMANCE.md attention-backend A/B):
+        # with the residual-saving remat policies (attn/qkv_attn save the
+        # custom-VJP out/lse via checkpoint_name; dots keeps the blockwise
+        # matmuls) the XLA blockwise path beats the Pallas kernel at both
+        # flagship points — XL-512 qkv_attn 744 vs 766 ms/step, GPT-B dots
+        # 76.2 vs 78.4 — so it is the default everywhere. The Pallas
+        # kernel (VMEM-resident score tiles) still wins under remat=full,
+        # where the backward re-runs the attention forward twice: select
+        # it with CONTROLAR_TRAIN_BLOCKWISE=pallas for that memory-floor
+        # regime.
+        backend = "xla"
     if backend == "pallas":
-        # Pallas kernel: score tiles + softmax statistics stay in VMEM (the
-        # XLA-blockwise path below re-reads every fp32 (qb, kb) tile from
-        # HBM — it dominated the XL-512 train-step profile). Identical loss
-        # and parameter gradients; see ops/flash_train_pallas.py for the
-        # loss-invariant masked-row treatment.
-        # CONTROLAR_TRAIN_BLOCKWISE=xla|pallas overrides the backend pick
-        # (A/B benches; Mosaic escape hatch).
         from controlar_tpu.ops.flash_train_pallas import (
             flash_attention_train_pallas)
 

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--peak-tflops", type=float, default=None,
                     help="override chip peak bf16 TFLOPs for MFU")
     ap.add_argument("--json-out", default=None)
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler trace of 3 post-warmup "
+                         "steps (feed to scripts/analyze_trace.py)")
     args = ap.parse_args()
 
     results = {}
@@ -124,14 +127,21 @@ def _run(args, remat):
         # (device.memory_stats() is unavailable on this platform)
         compiled = trainer.step_fn.lower(state, db, rng).compile()
         print(f"compile: {time.perf_counter() - t0:.1f} s", flush=True)
+        t0 = time.perf_counter()
         state, m = compiled(state, db, rng)
         jax.device_get(m["loss"])
+        print(f"warmup step: {time.perf_counter() - t0:.1f} s", flush=True)
         t0 = time.perf_counter()
         for _ in range(args.steps):
             state, m = compiled(state, db, rng)
         jax.device_get(m["loss"])
         dt = (time.perf_counter() - t0) / args.steps
         ma = compiled.memory_analysis()
+        if args.profile_dir:
+            with jax.profiler.trace(args.profile_dir):
+                for _ in range(3):
+                    state, m = compiled(state, db, rng)
+                jax.device_get(m["loss"])
 
     n_chips = jax.device_count()
     dev = jax.local_devices()[0]
